@@ -1,0 +1,104 @@
+"""FMEA chain merging of HSPs (device kernel).
+
+Re-implements the decision core of the reference's FMEA algorithm
+(`get_longest_repeats_v4`, `Util.py:4122-4400`; variants `FMEA_new:12340`):
+HSPs between a query and subject are greedily chained along the query,
+tolerating gaps up to `fixed_extend_base_threshold` on BOTH query and
+subject, and each chain's query/subject extents become repeat candidates.
+
+TPU-native formulation: HSPs are sorted by query start with one `lax.sort`,
+then a single `lax.scan` merges each HSP into the running chain when both
+gaps are within tolerance, emitting the closed chain otherwise.  Static
+shapes throughout; vmap over segment-pair batches.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hite_tpu.ops.seedext import HSPs
+
+INT32_MAX = jnp.int32(2**31 - 1)
+
+
+class Chains(NamedTuple):
+    qs: jnp.ndarray      # int32 [C]
+    qe: jnp.ndarray
+    ss: jnp.ndarray
+    se: jnp.ndarray
+    nseeds: jnp.ndarray
+    valid: jnp.ndarray   # bool [C]
+
+
+def chain_hsps(
+    hsps: HSPs,
+    *,
+    extend_threshold: int,
+    max_chains: int = 512,
+    min_len: int = 80,
+) -> Chains:
+    """Greedy-merge sorted HSPs into chains (one subject, one strand).
+
+    extend_threshold: max tolerated gap on query AND subject between
+    consecutive chained HSPs (reference's fixed_extend_base_threshold,
+    adaptive 2000-4000 bp, `Util.py:14641-14654`).
+    """
+    n = hsps.qs.shape[-1]
+    key = jnp.where(hsps.valid, hsps.qs, INT32_MAX)
+    order = jnp.argsort(key)
+    qs, qe, ss, se = (a[order] for a in (hsps.qs, hsps.qe, hsps.ss, hsps.se))
+    nseeds = hsps.nseeds[order]
+    valid = hsps.valid[order]
+
+    T = jnp.int32(extend_threshold)
+
+    def step(carry, x):
+        cqs, cqe, css, cse, cn, active = carry
+        xqs, xqe, xss, xse, xn, xvalid = x
+        q_ok = (xqs - cqe) <= T
+        # subject-side tolerance: next HSP's subject span must sit within
+        # threshold of the chain's subject extent and not jump backwards
+        # past tolerance (co-linear up to T, mirroring FMEA's two-sided gap).
+        s_ok = (jnp.abs(xss - cse) <= T) & (xse >= css)
+        mergeable = active & xvalid & q_ok & s_ok
+        # Emit the closed chain when we can't merge and a chain is active.
+        emit = active & xvalid & ~mergeable
+        emitted = (cqs, cqe, css, cse, cn, emit)
+        new_carry = jax.tree.map(
+            lambda cur, new: jnp.where(mergeable, cur, new),
+            (cqs, jnp.maximum(cqe, xqe), jnp.minimum(css, xss),
+             jnp.maximum(cse, xse), cn + xn, active),
+            (xqs, xqe, xss, xse, xn, xvalid | active),
+        )
+        # If x is invalid, keep the carry untouched.
+        new_carry = jax.tree.map(
+            lambda new, cur: jnp.where(xvalid, new, cur),
+            new_carry,
+            (cqs, cqe, css, cse, cn, active),
+        )
+        return new_carry, emitted
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            jnp.int32(0), jnp.bool_(False))
+    carry, emitted = jax.lax.scan(step, init, (qs, qe, ss, se, nseeds, valid))
+
+    e_qs, e_qe, e_ss, e_se, e_n, e_valid = emitted
+    # Append the final open chain.
+    f_qs, f_qe, f_ss, f_se, f_n, f_active = carry
+    e_qs = jnp.concatenate([e_qs, f_qs[None]])
+    e_qe = jnp.concatenate([e_qe, f_qe[None]])
+    e_ss = jnp.concatenate([e_ss, f_ss[None]])
+    e_se = jnp.concatenate([e_se, f_se[None]])
+    e_n = jnp.concatenate([e_n, f_n[None]])
+    e_valid = jnp.concatenate([e_valid, f_active[None]])
+
+    good = e_valid & ((e_qe - e_qs) >= min_len)
+    (sel,) = jnp.nonzero(good, size=max_chains, fill_value=n)
+    count = jnp.sum(good)
+    out_valid = jax.lax.broadcasted_iota(jnp.int32, (max_chains, 1), 0).squeeze(-1) < count
+    take = lambda a: jnp.where(out_valid, a[jnp.clip(sel, 0, n)], 0)
+    return Chains(qs=take(e_qs), qe=take(e_qe), ss=take(e_ss), se=take(e_se),
+                  nseeds=take(e_n), valid=out_valid)

@@ -1,0 +1,201 @@
+"""Coarse-boundary de-novo repeat discovery (reference stage "FMEA").
+
+Re-implements `module/coarse_boundary.py` + `determine_repeat_boundary_v5`
+(`Util.py:4637-4795`): find all genomic intervals that align to somewhere
+else in the genome (i.e., repeats), chained with generous gap tolerance,
+deduplicated, and excised with a +-flank for downstream structure scanning.
+
+TPU-native architecture (SURVEY.md §7 step 2): the genome is an [n_segs, S]
+code tensor; every segment pair (i, j<=i) runs the on-device
+seed->HSP->chain kernel (`ops.seedext` / `ops.chain`), vmapped over pair
+batches; candidate intervals come back as flat genome coordinates and are
+deduplicated with 10bp rounding + >=95% mutual-overlap merging, matching
+the reference's slack (`Util.py:4344-4395`).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hite_tpu.config import AlignConfig
+from hite_tpu.genome import Genome
+from hite_tpu.ops import encode as enc
+from hite_tpu.ops.chain import Chains, chain_hsps
+from hite_tpu.ops.kmer import KmerIndex, build_index
+from hite_tpu.ops.seedext import pair_hsps, rc_to_forward
+from hite_tpu.utils import intervals as iv
+from hite_tpu.utils.log import logger, stage_timer
+
+
+@dataclass
+class CoarseParams:
+    """Static kernel geometry (compile-time constants)."""
+
+    seg_len: int = 131_072        # alignment tile (reference uses 1Mb shards)
+    stride: int = 2
+    max_hits: int = 8
+    diag_band: int = 32
+    run_gap: int = 96
+    min_seeds: int = 4
+    max_hsps: int = 2048
+    max_chains: int = 512
+    pair_batch: int = 16
+
+
+class PairAligner:
+    """Batched segment-pair aligner with precomputed per-segment indexes."""
+
+    def __init__(self, cfg: AlignConfig, params: CoarseParams):
+        self.cfg = cfg
+        self.p = params
+
+        @functools.partial(jax.jit, static_argnames=("n_kmers",))
+        def _prepare(segs: jnp.ndarray, n_kmers: int):
+            km = enc.kmer_codes(segs, cfg.kmer_size)
+            fwd = build_index(segs, cfg.kmer_size)
+            rc = build_index(enc.revcomp(segs), cfg.kmer_size)
+            return km, fwd, rc
+
+        self._prepare = _prepare
+
+        p = params
+
+        def _one_pair(q_km, f_codes, f_pos, r_codes, r_pos, is_self):
+            hsp_kw = dict(
+                k=cfg.kmer_size, stride=p.stride, max_hits=p.max_hits,
+                diag_band=p.diag_band, run_gap=p.run_gap, min_seeds=p.min_seeds,
+                min_hsp_len=cfg.min_hsp_len, max_hsps=p.max_hsps,
+            )
+            chain_kw = dict(
+                extend_threshold=cfg.fixed_extend_base_threshold,
+                max_chains=p.max_chains, min_len=80,
+            )
+            fh = pair_hsps(q_km, KmerIndex(f_codes, f_pos),
+                           exclude_self=is_self, **hsp_kw)
+            fc = chain_hsps(fh, **chain_kw)
+            rh = pair_hsps(q_km, KmerIndex(r_codes, r_pos),
+                           exclude_self=False, **hsp_kw)
+            rch = chain_hsps(rh, **chain_kw)
+            return fc, rch
+
+        @jax.jit
+        def _pair_batch(km_all, f_codes_all, f_pos_all, r_codes_all, r_pos_all,
+                        bi, bj, is_self):
+            fn = jax.vmap(_one_pair)
+            return fn(km_all[bi], f_codes_all[bj], f_pos_all[bj],
+                      r_codes_all[bj], r_pos_all[bj], is_self)
+
+        self._pair_batch = _pair_batch
+
+    def prepare(self, segs: np.ndarray):
+        segs_d = jnp.asarray(segs)
+        km, fwd, rc = self._prepare(segs_d, segs.shape[1] - self.cfg.kmer_size + 1)
+        return km, fwd, rc
+
+    def align_pairs(self, km, fwd: KmerIndex, rc: KmerIndex,
+                    pairs: np.ndarray) -> Tuple[Chains, Chains]:
+        """pairs: int [B, 2] of (query seg, subject seg)."""
+        bi = jnp.asarray(pairs[:, 0])
+        bj = jnp.asarray(pairs[:, 1])
+        is_self = jnp.asarray(pairs[:, 0] == pairs[:, 1])
+        return self._pair_batch(km, fwd.codes, fwd.pos, rc.codes, rc.pos,
+                                bi, bj, is_self)
+
+
+def _chains_to_intervals(
+    fc: Chains, rch: Chains, pairs: np.ndarray, seg_len: int, n_kmer_pos: int
+) -> np.ndarray:
+    """Device chain batches -> flat-coordinate candidate intervals [N, 2]."""
+    out: List[np.ndarray] = []
+    for chains, is_rc in ((fc, False), (rch, True)):
+        qs = np.asarray(chains.qs)
+        qe = np.asarray(chains.qe)
+        ss = np.asarray(chains.ss)
+        se = np.asarray(chains.se)
+        valid = np.asarray(chains.valid)
+        for b in range(len(pairs)):
+            v = valid[b]
+            if not v.any():
+                continue
+            qoff = pairs[b, 0] * seg_len
+            soff = pairs[b, 1] * seg_len
+            q_iv = np.stack([qs[b][v] + qoff, qe[b][v] + qoff], axis=1)
+            s0, s1 = ss[b][v], se[b][v]
+            if is_rc:
+                # index was built on revcomp(segment): n_kmer_pos positions;
+                # spans cover [p, p+k) so the base-coordinate length is seg_len
+                s0, s1 = seg_len - se[b][v], seg_len - ss[b][v]
+            s_iv = np.stack([s0 + soff, s1 + soff], axis=1)
+            out.append(q_iv)
+            out.append(s_iv)
+    if not out:
+        return np.zeros((0, 2), dtype=np.int64)
+    return np.concatenate(out).astype(np.int64)
+
+
+def coarse_discover(
+    genome: Genome,
+    cfg: AlignConfig,
+    params: Optional[CoarseParams] = None,
+    use_masked: bool = True,
+    max_repeat_len: int = 30_000,
+    min_repeat_len: int = 80,
+) -> np.ndarray:
+    """Find candidate repeat intervals (flat coords) across the whole genome.
+
+    Returns int64 [N, 2] deduplicated candidate intervals.
+    """
+    p = params or CoarseParams()
+    segs = genome.segment_view(p.seg_len, use_masked=use_masked)
+    n_segs = segs.shape[0]
+    aligner = PairAligner(cfg, p)
+
+    with stage_timer("coarse.prepare"):
+        km, fwd, rc = aligner.prepare(segs)
+
+    all_pairs = np.array([(i, j) for i in range(n_segs) for j in range(i + 1)],
+                         dtype=np.int64)
+    cand: List[np.ndarray] = []
+    with stage_timer("coarse.align"):
+        for b0 in range(0, len(all_pairs), p.pair_batch):
+            batch = all_pairs[b0 : b0 + p.pair_batch]
+            if len(batch) < p.pair_batch:  # pad to static batch size
+                pad = np.repeat(batch[-1:], p.pair_batch - len(batch), axis=0)
+                full = np.concatenate([batch, pad])
+            else:
+                full = batch
+            fc, rch = aligner.align_pairs(km, fwd, rc, full)
+            cand.append(_chains_to_intervals(
+                jax.tree.map(lambda a: a[: len(batch)], fc),
+                jax.tree.map(lambda a: a[: len(batch)], rch),
+                batch, p.seg_len, p.seg_len - cfg.kmer_size + 1))
+
+    intervals = (np.concatenate(cand) if cand else np.zeros((0, 2), np.int64))
+    if len(intervals) == 0:
+        return intervals
+
+    with stage_timer("coarse.dedup"):
+        lens = intervals[:, 1] - intervals[:, 0]
+        keep = (lens >= min_repeat_len) & (lens < max_repeat_len)
+        intervals = intervals[keep]
+        intervals, _ = iv.dedup(intervals, q=cfg.round_coord_bp)
+        groups = iv.mutual_overlap_groups(intervals, frac=cfg.merge_overlap)
+        # one representative (the longest) per mutual-overlap group
+        lens = intervals[:, 1] - intervals[:, 0]
+        best: dict = {}
+        for i, g in enumerate(groups):
+            if g not in best or lens[i] > lens[best[g]]:
+                best[g] = i
+        intervals = intervals[sorted(best.values())]
+
+    # candidates must lie within one contig (no spacer crossing)
+    ok = genome.in_contig(intervals[:, 0], intervals[:, 1])
+    intervals = intervals[ok]
+    logger.info("coarse_discover: %d candidate repeat intervals", len(intervals))
+    return intervals
