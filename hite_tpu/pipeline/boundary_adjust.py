@@ -1,0 +1,154 @@
+"""Dynamic boundary adjustment engine (flank_region_align_v5 equivalent).
+
+Re-implements the decision core of the reference's shared TIR/Helitron/
+non-LTR verification engine (`flank_region_align_v5`, `Util.py:8032-8299`):
+fetch full-length copies of a candidate, extend them with flanking genome
+context, build a family alignment matrix, and let per-column homology
+statistics decide whether the candidate is a real TE and where its exact
+boundaries lie.  Candidates with too few copies go to the low-copy pool
+for structural/domain rescue (`Util.py:8178-8287`).
+
+TPU-native: the per-family mafft+python-scan of the reference becomes one
+jitted device call per (rows, length) shape bucket — anchor-projection MSA
+(`ops.msa`) + column stats + windowed boundary search (`ops.boundary`).
+Type-specific judges (TIR/Helitron/non-LTR) consume the returned matrix
+and consensus on host.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hite_tpu.config import MSAConfig
+from hite_tpu.genome import Genome
+from hite_tpu.ops.boundary import (
+    adaptive_threshold, column_stats, consensus, search_boundary,
+)
+from hite_tpu.ops.msa import project_to_center
+from hite_tpu.pipeline.candidates import bucket_for, pad_seqs
+from hite_tpu.pipeline.copies import CopyHit
+from hite_tpu.utils.log import count
+
+
+@dataclass
+class FamilyAnalysis:
+    """Device results for one candidate family, pulled to host."""
+
+    M: np.ndarray               # [R, L] alignment matrix (0-3,4 N,5 gap)
+    homo: np.ndarray            # [L] homologous columns
+    cons: np.ndarray            # [L] majority consensus (5 = gap-majority)
+    left_found: bool
+    left_pos: int
+    right_found: bool
+    right_pos: int
+
+
+@dataclass
+class AdjustResult:
+    accepted: bool
+    start: int                  # adjusted flat genome coords
+    end: int
+    copy_count: int
+    low_copy: bool
+    consensus: Optional[np.ndarray] = None
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "int_window", "ext_window"))
+def _analyze(center, copies_mat, lens, anchor_l, anchor_r, *,
+             radius=50, int_window=20, ext_window=10):
+    M = project_to_center(center, copies_mat, lens)
+    R = copies_mat.shape[0]
+    thr = adaptive_threshold(jnp.sum(lens > 0))
+    stats = column_stats(M, thr)
+    left = search_boundary(stats.homo, anchor_l, side="left", radius=radius,
+                           int_window=int_window, ext_window=ext_window)
+    right = search_boundary(stats.homo, anchor_r, side="right", radius=radius,
+                            int_window=int_window, ext_window=ext_window)
+    cons, support = consensus(M)
+    return M, stats.homo, cons, left, right
+
+
+def analyze_family(
+    genome: Genome,
+    interval: Tuple[int, int],
+    copies: Sequence[CopyHit],
+    cfg: MSAConfig,
+) -> Tuple[FamilyAnalysis, int]:
+    """Build + analyze the family matrix; returns (analysis, center_start)."""
+    s, e = int(interval[0]), int(interval[1])
+    flank = cfg.frame_flank
+    center = genome.extract(s, e, flank)
+    center_start = max(s - flank, s - (len(center) - (e - s)))
+    # actual left flank obtained after contig clipping:
+    ci, local = genome.contig_of(np.array([s]))
+    c_start = int(genome.starts[int(ci[0])])
+    left_flank = min(flank, s - c_start)
+    center_start = s - left_flank
+    anchor_l = left_flank
+    anchor_r = left_flank + (e - s)
+
+    copy_seqs = [genome.extract(h.start, h.end, flank) for h in copies]
+    from hite_tpu.io.fasta import revcomp as np_revcomp
+    copy_seqs = [np_revcomp(cs) if h.strand == 1 else cs
+                 for cs, h in zip(copy_seqs, copies)]
+    R_bucket = max(4, 1 << (len(copy_seqs) - 1).bit_length()) if copy_seqs else 4
+    width = bucket_for(len(center))
+    mat, lens = pad_seqs(copy_seqs, width)
+    if len(mat) < R_bucket:
+        pad = np.full((R_bucket - len(mat), width), 4, np.uint8)
+        mat = np.concatenate([mat, pad])
+        lens = np.concatenate([lens, np.zeros(R_bucket - len(lens), np.int32)])
+    c_pad = np.full(width, 4, np.uint8)
+    c_pad[: len(center)] = center
+
+    M, homo, cons, left, right = _analyze(
+        jnp.asarray(c_pad), jnp.asarray(mat), jnp.asarray(lens),
+        jnp.int32(anchor_l), jnp.int32(anchor_r))
+    fa = FamilyAnalysis(
+        M=np.asarray(M), homo=np.asarray(homo), cons=np.asarray(cons),
+        left_found=bool(left.found), left_pos=int(left.pos),
+        right_found=bool(right.found), right_pos=int(right.pos),
+    )
+    return fa, center_start
+
+
+# A judge inspects the analysis and returns (accept, bl, br) in center coords.
+Judge = Callable[[FamilyAnalysis], Tuple[bool, int, int]]
+
+
+def adjust_candidate(
+    genome: Genome,
+    interval: Tuple[int, int],
+    copies: Sequence[CopyHit],
+    cfg: MSAConfig,
+    judge: Judge,
+    min_copies: int,
+) -> AdjustResult:
+    """One round of boundary adjustment for one candidate."""
+    n = len(copies)
+    if n < min_copies:
+        count("boundary.low_copy")
+        return AdjustResult(accepted=False, start=int(interval[0]),
+                            end=int(interval[1]), copy_count=n, low_copy=True)
+    fa, center_start = analyze_family(genome, interval, copies, cfg)
+    if not (fa.left_found and fa.right_found):
+        count("boundary.not_found")
+        return AdjustResult(accepted=False, start=int(interval[0]),
+                            end=int(interval[1]), copy_count=n, low_copy=False)
+    ok, bl, br = judge(fa)
+    if not ok or br - bl < 30:
+        count("boundary.judge_reject")
+        return AdjustResult(accepted=False, start=int(interval[0]),
+                            end=int(interval[1]), copy_count=n, low_copy=False)
+    count("boundary.accepted")
+    cons = fa.cons[bl:br]
+    cons = cons[cons < 4]  # drop gap/N columns for the consensus readout
+    return AdjustResult(accepted=True, start=center_start + bl,
+                        end=center_start + br, copy_count=n,
+                        low_copy=False, consensus=cons.astype(np.uint8))

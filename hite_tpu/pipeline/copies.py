@@ -1,0 +1,149 @@
+"""Genome-wide full-length copy retrieval (minimap2 replacement).
+
+Re-implements `get_full_length_copies_minimap2` / `get_copies_minimap2`
+(`Util.py:7933-8030`; SURVEY.md §3.3 "HOT LOOP 3"): map each candidate
+against the whole genome and keep hits covering >= `min_coverage` of the
+candidate on both query and target — the copies that feed the MSA boundary
+judge.
+
+TPU-native design: candidates are padded into bucketed [C, L] batches and
+aligned against the same per-segment sorted k-mer indexes the coarse stage
+builds (one prepared `GenomeIndex` shared by every module), using the
+seed->HSP->chain kernels.  Chains are filtered for two-sided coverage and
+collected per candidate.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hite_tpu.config import AlignConfig
+from hite_tpu.genome import Genome
+from hite_tpu.ops import encode as enc
+from hite_tpu.ops.chain import chain_hsps
+from hite_tpu.ops.kmer import KmerIndex, build_index
+from hite_tpu.ops.seedext import pair_hsps
+from hite_tpu.pipeline.candidates import pad_seqs
+from hite_tpu.utils.log import logger
+
+
+@dataclass
+class CopyHit:
+    """One genomic copy of a candidate: flat interval + strand + identity proxy."""
+
+    start: int
+    end: int
+    strand: int      # 0 = forward, 1 = reverse
+    nseeds: int
+
+
+class GenomeIndex:
+    """Per-segment sorted k-mer indexes of the (masked) genome, device-resident."""
+
+    def __init__(self, genome: Genome, cfg: AlignConfig, seg_len: int = 131_072,
+                 use_masked: bool = False):
+        self.genome = genome
+        self.cfg = cfg
+        self.seg_len = seg_len
+        segs = genome.segment_view(seg_len, use_masked=use_masked)
+        self.n_segs = segs.shape[0]
+        segs_d = jnp.asarray(segs)
+        self.fwd = build_index(segs_d, cfg.kmer_size)
+        self.rc = build_index(enc.revcomp(segs_d), cfg.kmer_size)
+        self.seg_kmers = enc.kmer_codes(segs_d, cfg.kmer_size)
+
+
+class CopyFinder:
+    """Batched candidate -> genome copy mapping."""
+
+    def __init__(self, index: GenomeIndex, *, stride: int = 1, max_hits: int = 8,
+                 diag_band: int = 32, run_gap: int = 96, min_seeds: int = 4,
+                 max_hsps: int = 1024, max_chains: int = 128):
+        self.index = index
+        cfg = index.cfg
+        p = dict(stride=stride, max_hits=max_hits, diag_band=diag_band,
+                 run_gap=run_gap, min_seeds=min_seeds, max_hsps=max_hsps)
+
+        def _map_one(cand_km, f_codes, f_pos, r_codes, r_pos):
+            hsp_kw = dict(k=cfg.kmer_size, min_hsp_len=cfg.min_hsp_len, **p)
+            chain_kw = dict(extend_threshold=cfg.fixed_extend_base_threshold,
+                            max_chains=max_chains, min_len=50)
+            fh = pair_hsps(cand_km, KmerIndex(f_codes, f_pos), **hsp_kw)
+            fc = chain_hsps(fh, **chain_kw)
+            rh = pair_hsps(cand_km, KmerIndex(r_codes, r_pos), **hsp_kw)
+            rch = chain_hsps(rh, **chain_kw)
+            return fc, rch
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _map_batch(cand_kms, f_codes, f_pos, r_codes, r_pos):
+            fn = jax.vmap(_map_one, in_axes=(0, None, None, None, None))
+            return fn(cand_kms, f_codes, f_pos, r_codes, r_pos)
+
+        self._map_batch = _map_batch
+
+    def find_copies(
+        self,
+        cand_seqs: Sequence[np.ndarray],
+        *,
+        min_coverage: float = 0.95,
+        max_copies: int = 100,
+        max_len_ratio: float = 1.2,
+    ) -> List[List[CopyHit]]:
+        """Return up to max_copies full-length CopyHits per candidate."""
+        idx = self.index
+        cfg = idx.cfg
+        out: List[List[CopyHit]] = [[] for _ in cand_seqs]
+        if not cand_seqs:
+            return out
+        from hite_tpu.pipeline.candidates import pad_rows
+        mat, lens = pad_seqs(cand_seqs, n_rows=pad_rows(len(cand_seqs)))
+        cand_kms = enc.kmer_codes(jnp.asarray(mat), cfg.kmer_size)
+
+        for s in range(idx.n_segs):
+            fc, rch = self._map_batch(
+                cand_kms,
+                idx.fwd.codes[s], idx.fwd.pos[s],
+                idx.rc.codes[s], idx.rc.pos[s],
+            )
+            soff = s * idx.seg_len
+            for chains, strand in ((fc, 0), (rch, 1)):
+                qs = np.asarray(chains.qs)
+                qe = np.asarray(chains.qe)
+                ss = np.asarray(chains.ss)
+                se = np.asarray(chains.se)
+                ns = np.asarray(chains.nseeds)
+                valid = np.asarray(chains.valid)
+                for c in range(len(cand_seqs)):
+                    L = int(lens[c])
+                    v = valid[c]
+                    if not v.any():
+                        continue
+                    qcov = (qe[c] - qs[c]) / max(L, 1)
+                    slen = se[c] - ss[c]
+                    ok = v & (qcov >= min_coverage) & (slen >= min_coverage * L)
+                    ok &= slen <= max_len_ratio * L
+                    for i in np.nonzero(ok)[0]:
+                        s0, s1 = int(ss[c, i]), int(se[c, i])
+                        if strand == 1:
+                            s0, s1 = idx.seg_len - s1, idx.seg_len - s0
+                        out[c].append(CopyHit(start=soff + s0, end=soff + s1,
+                                              strand=strand, nseeds=int(ns[c, i])))
+        # dedup overlapping hits, cap at max_copies (prefer more seeds)
+        for c, hits in enumerate(out):
+            hits.sort(key=lambda h: -h.nseeds)
+            kept: List[CopyHit] = []
+            for h in hits:
+                dup = any(min(h.end, g.end) - max(h.start, g.start)
+                          > 0.8 * (h.end - h.start) for g in kept)
+                if not dup:
+                    kept.append(h)
+                if len(kept) >= max_copies:
+                    break
+            out[c] = kept
+        return out

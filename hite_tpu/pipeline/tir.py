@@ -1,0 +1,270 @@
+"""TIR transposon detection module.
+
+Re-implements `module/judge_TIR_transposons.py` (SURVEY.md §3.3): from
+coarse repeat candidates, (1) gate by tandem content, (2) find TSD +
+terminal-inverted-repeat structure and snap boundaries to the TSD
+(`search_confident_tir_v4` `Util.py:7734-7845` + itrsearch on 40bp ends
+`Util.py:6556-6575`), (3) cluster into families, (4) iterate dynamic
+boundary adjustment over the family MSA (3 rounds of `flank_region_align_v5`
+— here `pipeline.boundary_adjust`), with the TIR-specific judge scoring
+terminal 5-mer inverted-complementarity and per-row TSD votes across +-4bp
+boundary shifts (`judge_boundary_v5` TIR branch `Util.py:9356-9411`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from hite_tpu.config import PipelineConfig
+from hite_tpu.genome import Genome
+from hite_tpu.io.fasta import revcomp as np_revcomp
+from hite_tpu.ops.tandem import tandem_fraction
+from hite_tpu.ops.terminal import find_terminal_repeat
+from hite_tpu.ops.tsd import tsd_search
+from hite_tpu.pipeline.boundary_adjust import (
+    AdjustResult, FamilyAnalysis, adjust_candidate,
+)
+from hite_tpu.pipeline.candidates import (
+    CandidateSet, bucket_iter, pad_rows, pad_seqs,
+)
+from hite_tpu.pipeline.cluster import cluster_by_copies, representatives
+from hite_tpu.pipeline.copies import CopyFinder, GenomeIndex
+from hite_tpu.utils.log import logger, stage_timer
+
+
+@dataclass
+class ModuleResult:
+    """Output of one TE-class detection module."""
+
+    accepted: CandidateSet
+    consensus: List[np.ndarray]
+    low_copy: CandidateSet
+    copy_counts: List[int] = field(default_factory=list)
+
+
+def _empty_result() -> ModuleResult:
+    empty = CandidateSet(intervals=np.zeros((0, 2), np.int64))
+    return ModuleResult(accepted=empty, consensus=[], low_copy=empty)
+
+
+def tsd_votes_host(M: np.ndarray, bl: int, br: int,
+                   sizes: Sequence[int] = (2, 3, 4, 5, 6, 8, 9, 10, 11),
+                   ) -> Dict[int, int]:
+    """Per-size TSD vote counts over the family matrix at [bl, br)."""
+    R, L = M.shape
+    votes: Dict[int, int] = {}
+    for s in sizes:
+        if bl - s < 0 or br + s > L:
+            votes[s] = 0
+            continue
+        l = M[:, bl - s : bl]
+        r = M[:, br : br + s]
+        ok = (l < 4).all(1) & (r < 4).all(1)
+        mm = (l != r).sum(1)
+        tol = 1 if s >= 8 else 0
+        votes[s] = int((ok & (mm <= tol)).sum())
+    return votes
+
+
+def make_tir_judge(plant: bool):
+    """Judge for the boundary-adjust engine: TIR termini + TSD votes."""
+
+    def judge(fa: FamilyAnalysis) -> Tuple[bool, int, int]:
+        M = fa.M
+        present = int(((M < 4).any(1)).sum())
+        cons = fa.cons
+        L = len(cons)
+        best = None
+        for dl in range(-4, 5):
+            for dr in range(-4, 5):
+                bl = fa.left_pos + dl
+                br = fa.right_pos + dr
+                if bl < 5 or br > L - 5 or br - bl < 30:
+                    continue
+                t5 = cons[bl : bl + 5]
+                t3 = cons[br - 5 : br]
+                if (t5 >= 4).any() or (t3 >= 4).any():
+                    continue
+                ham = int((t5 != np_revcomp(t3)).sum())
+                if ham > 1:
+                    continue
+                votes = tsd_votes_host(M, bl, br)
+                need = {s: (max(2, int(np.ceil(0.5 * present))) if s == 2
+                            else max(2, int(np.ceil(0.3 * present))))
+                        for s in votes}
+                vbest = max((v for s, v in votes.items() if v >= need[s]),
+                            default=-1)
+                if vbest < 0:
+                    continue
+                score = (ham, -vbest, abs(dl) + abs(dr))
+                if best is None or score < best[0]:
+                    best = (score, bl, br)
+        if best is None:
+            return False, fa.left_pos, fa.right_pos
+        return True, best[1], best[2]
+
+    return judge
+
+
+def structural_gate(
+    genome: Genome,
+    intervals: np.ndarray,
+    cfg: PipelineConfig,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """TSD + terminal-inverted-repeat structural gate on raw candidates.
+
+    Returns (adjusted_intervals [M, 2], keep_index [M]) — candidates whose
+    flanks carry a TSD whose implied element has an ITR.
+    """
+    tcfg = cfg.tsd
+    flank = tcfg.search_radius       # context to search TSDs in
+    W = flank + 20
+    kept: List[int] = []
+    adjusted: List[Tuple[int, int]] = []
+
+    lens = intervals[:, 1] - intervals[:, 0]
+    for width, idxs in bucket_iter(range(len(intervals)), lens + 2 * flank):
+        seqs = [genome.extract(intervals[i, 0], intervals[i, 1], flank)
+                for i in idxs]
+        n_rows = pad_rows(len(seqs))
+        blank = np.full(W, 4, np.uint8)
+        flanks_l = np.stack([s[:W] if len(s) >= 2 * W else blank
+                             for s in seqs] + [blank] * (n_rows - len(seqs)))
+        flanks_r = np.stack([s[-W:] if len(s) >= 2 * W else blank
+                             for s in seqs] + [blank] * (n_rows - len(seqs)))
+        hit = tsd_search(jnp.asarray(flanks_l), jnp.asarray(flanks_r),
+                         sizes=tcfg.sizes, plant=cfg.plant)
+        found = np.asarray(hit.found)
+        dist = np.asarray(hit.dist)
+        lp = np.asarray(hit.left_pos)
+        rp = np.asarray(hit.right_pos)
+
+        # element extraction for the ITR check: try the best few TSD choices
+        # per candidate (ranked by boundary distance, larger size on ties —
+        # the reference validates its top combos with itrsearch similarly)
+        el_seqs: List[np.ndarray] = []
+        el_info: List[Tuple[int, int, int, int]] = []  # (cand, abs_s, abs_e, rank)
+        for bi, i in enumerate(idxs):
+            if not found[bi].any():
+                continue
+            order = [s for s in sorted(
+                range(len(tcfg.sizes)),
+                key=lambda s: (dist[bi, s], -tcfg.sizes[s])) if found[bi, s]]
+            seq = seqs[bi]
+            L = len(seq)
+            # genome.extract clips at contig edges; actual left flank length:
+            ci, local = genome.contig_of(np.array([intervals[i, 0]]))
+            lf = min(flank, int(local[0]))
+            for rank, s_i in enumerate(order[:3]):
+                size = tcfg.sizes[s_i]
+                el_s = int(lp[bi, s_i]) + size
+                el_e = L - W + int(rp[bi, s_i])
+                if el_e - el_s < cfg.library.min_te_len:
+                    continue
+                sub = seq[el_s:el_e]
+                # LTR-signature rejection: TG...CA termini (Util.py:7822)
+                if len(sub) > 4 and sub[0] == 3 and sub[1] == 2 \
+                        and sub[-2] == 1 and sub[-1] == 0:
+                    continue
+                el_seqs.append(sub)
+                abs_s = int(intervals[i, 0]) - lf + el_s
+                el_info.append((i, abs_s, abs_s + (el_e - el_s), rank))
+        if not el_seqs:
+            continue
+        mat, elens = pad_seqs(el_seqs, n_rows=pad_rows(len(el_seqs)))
+        tr = find_terminal_repeat(
+            jnp.asarray(mat), jnp.asarray(elens), inverted=True,
+            window=cfg.terminal.end_window,
+            min_identity=cfg.terminal.itr_identity,
+            min_len=cfg.terminal.itr_min_len)
+        ok = np.asarray(tr.found)
+        best_by_cand: Dict[int, Tuple[int, int, int]] = {}
+        for bi, (i, a_s, a_e, rank) in enumerate(el_info):
+            if ok[bi] and (i not in best_by_cand or rank < best_by_cand[i][0]):
+                best_by_cand[i] = (rank, a_s, a_e)
+        for i, (_rank, a_s, a_e) in best_by_cand.items():
+            kept.append(i)
+            adjusted.append((a_s, a_e))
+    return (np.array(adjusted, np.int64).reshape(-1, 2),
+            np.array(kept, np.int64))
+
+
+def run_tir_detection(
+    genome: Genome,
+    coarse_intervals: np.ndarray,
+    cfg: PipelineConfig,
+    gindex: Optional[GenomeIndex] = None,
+) -> ModuleResult:
+    """Full TIR module: gate -> cluster -> iterate boundary adjustment."""
+    if len(coarse_intervals) == 0:
+        return _empty_result()
+
+    with stage_timer("tir.tandem_filter"):
+        seqs = [genome.extract(s, e) for s, e in coarse_intervals]
+        mat, lens = pad_seqs(seqs, n_rows=pad_rows(len(seqs)))
+        frac = np.asarray(tandem_fraction(jnp.asarray(mat), jnp.asarray(lens)))
+        frac = frac[: len(coarse_intervals)]
+        coarse_intervals = coarse_intervals[frac < cfg.tandem.tandem_region_cutoff]
+
+    with stage_timer("tir.structural_gate"):
+        gated, kept = structural_gate(genome, coarse_intervals, cfg)
+    logger.info("tir: %d/%d candidates pass TSD+ITR gate",
+                len(gated), len(coarse_intervals))
+    if len(gated) == 0:
+        return _empty_result()
+
+    gindex = gindex or GenomeIndex(genome, cfg.align)
+    finder = CopyFinder(gindex)
+    judge = make_tir_judge(cfg.plant)
+
+    with stage_timer("tir.copies"):
+        copy_sets = finder.find_copies(
+            [genome.extract(s, e) for s, e in gated],
+            min_coverage=0.9, max_copies=cfg.msa.max_copies)
+    groups = cluster_by_copies(copy_sets)
+    reps = representatives(groups, gated[:, 1] - gated[:, 0],
+                           [len(c) for c in copy_sets])
+    logger.info("tir: %d families from %d candidates", len(reps), len(gated))
+
+    accepted: List[Tuple[int, int]] = []
+    consensus: List[np.ndarray] = []
+    copy_counts: List[int] = []
+    low_copy: List[Tuple[int, int]] = []
+
+    with stage_timer("tir.boundary_adjust"):
+        for g, rep in reps.items():
+            interval = (int(gated[rep, 0]), int(gated[rep, 1]))
+            copies = copy_sets[rep]
+            result: Optional[AdjustResult] = None
+            for round_i in range(cfg.msa.boundary_rounds):
+                result = adjust_candidate(genome, interval, copies, cfg.msa,
+                                          judge, cfg.msa.min_copy_tir)
+                if not result.accepted:
+                    break
+                new_interval = (result.start, result.end)
+                if new_interval == interval:
+                    break
+                interval = new_interval
+                copies = finder.find_copies(
+                    [genome.extract(*interval)],
+                    min_coverage=0.9, max_copies=cfg.msa.max_copies)[0]
+            if result is None:
+                continue
+            if result.low_copy:
+                low_copy.append(interval)
+            elif result.accepted and \
+                    result.end - result.start >= cfg.library.min_te_len:
+                accepted.append((result.start, result.end))
+                consensus.append(result.consensus)
+                copy_counts.append(result.copy_count)
+
+    return ModuleResult(
+        accepted=CandidateSet(np.array(accepted, np.int64).reshape(-1, 2)),
+        consensus=consensus,
+        low_copy=CandidateSet(np.array(low_copy, np.int64).reshape(-1, 2)),
+        copy_counts=copy_counts,
+    )
