@@ -1,0 +1,61 @@
+"""Benchmark: coarse repeat-discovery throughput on the TPU chip.
+
+Measures the framework's primary hot path (SURVEY.md §3.2 hot loops 1+2 —
+the all-vs-all segment alignment grid + FMEA chaining, which dominates the
+reference's wall clock) as Mbp of genome processed per second, end to end
+including candidate extraction, on a synthetic repeat-bearing genome.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numeric throughput (BASELINE.md);
+the denominator is an estimate of reference HiTE's coarse-boundary stage
+throughput on its recommended 40-CPU setup (~0.1 Mbp/s for the blastn
+all-vs-all + Python FMEA on a 400MB chunk, i.e. ~1h per 400Mbp stage).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_MBP_S = 0.1  # estimated reference coarse-stage throughput (see above)
+
+
+def main() -> None:
+    import jax
+
+    from hite_tpu.config import AlignConfig
+    from hite_tpu.genome import synthetic_genome
+    from hite_tpu.pipeline.coarse import CoarseParams, coarse_discover
+
+    rng = np.random.default_rng(0)
+    te_seqs = ["".join("ACGT"[c] for c in rng.integers(0, 4, size=L))
+               for L in (600, 1500, 3000)]
+    genome_bp = 4_000_000
+    genome, _ = synthetic_genome(
+        genome_bp, te_seqs, [40, 20, 10], seed=1, mutation_rate=0.05)
+
+    cfg = AlignConfig(fixed_extend_base_threshold=2000)
+    params = CoarseParams(seg_len=131_072, pair_batch=64)
+
+    # warmup (compile)
+    coarse_discover(genome, cfg, params)
+
+    t0 = time.perf_counter()
+    cands = coarse_discover(genome, cfg, params)
+    jax.block_until_ready(jax.numpy.zeros(()))
+    dt = time.perf_counter() - t0
+
+    mbp_s = genome_bp / 1e6 / dt
+    print(json.dumps({
+        "metric": "coarse_discovery_throughput",
+        "value": round(mbp_s, 3),
+        "unit": "Mbp/s",
+        "vs_baseline": round(mbp_s / BASELINE_MBP_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

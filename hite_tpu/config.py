@@ -140,8 +140,11 @@ class HelitronConfig:
     """Helitron scanner (replaces HelitronScanner LCV jar, SURVEY.md §2.C)."""
 
     head_tail_max_gap: int = 30_000      # pairends max span
-    min_score_head: int = 4              # HelitronScanner default -rt/-bt style cutoffs
-    min_score_tail: int = 4
+    # thresholds on distinct-LCV-pattern hit counts (our per-site score is a
+    # pattern-count, not HelitronScanner's weighted sum; one genuine terminus
+    # typically matches 2-8 head / 1-4 tail patterns)
+    min_score_head: int = 2
+    min_score_tail: int = 1
     terminal_motifs_tail: Tuple[str, ...] = ("CTAGT", "CTAAT", "CTGGT", "CTGAT")
     head_motif: str = "ATC"
 

@@ -25,30 +25,13 @@ from hite_tpu.io.fasta import revcomp as np_revcomp
 from hite_tpu.ops.tandem import tandem_fraction
 from hite_tpu.ops.terminal import find_terminal_repeat
 from hite_tpu.ops.tsd import tsd_search
-from hite_tpu.pipeline.boundary_adjust import (
-    AdjustResult, FamilyAnalysis, adjust_candidate,
-)
+from hite_tpu.pipeline.boundary_adjust import FamilyAnalysis
 from hite_tpu.pipeline.candidates import (
     CandidateSet, bucket_iter, pad_rows, pad_seqs,
 )
-from hite_tpu.pipeline.cluster import cluster_by_copies, representatives
-from hite_tpu.pipeline.copies import CopyFinder, GenomeIndex
+from hite_tpu.pipeline.copies import GenomeIndex
+from hite_tpu.pipeline.verify import ModuleResult, empty_result, verify_families
 from hite_tpu.utils.log import logger, stage_timer
-
-
-@dataclass
-class ModuleResult:
-    """Output of one TE-class detection module."""
-
-    accepted: CandidateSet
-    consensus: List[np.ndarray]
-    low_copy: CandidateSet
-    copy_counts: List[int] = field(default_factory=list)
-
-
-def _empty_result() -> ModuleResult:
-    empty = CandidateSet(intervals=np.zeros((0, 2), np.int64))
-    return ModuleResult(accepted=empty, consensus=[], low_copy=empty)
 
 
 def tsd_votes_host(M: np.ndarray, bl: int, br: int,
@@ -201,7 +184,7 @@ def run_tir_detection(
 ) -> ModuleResult:
     """Full TIR module: gate -> cluster -> iterate boundary adjustment."""
     if len(coarse_intervals) == 0:
-        return _empty_result()
+        return empty_result()
 
     with stage_timer("tir.tandem_filter"):
         seqs = [genome.extract(s, e) for s, e in coarse_intervals]
@@ -214,57 +197,6 @@ def run_tir_detection(
         gated, kept = structural_gate(genome, coarse_intervals, cfg)
     logger.info("tir: %d/%d candidates pass TSD+ITR gate",
                 len(gated), len(coarse_intervals))
-    if len(gated) == 0:
-        return _empty_result()
-
-    gindex = gindex or GenomeIndex(genome, cfg.align)
-    finder = CopyFinder(gindex)
-    judge = make_tir_judge(cfg.plant)
-
-    with stage_timer("tir.copies"):
-        copy_sets = finder.find_copies(
-            [genome.extract(s, e) for s, e in gated],
-            min_coverage=0.9, max_copies=cfg.msa.max_copies)
-    groups = cluster_by_copies(copy_sets)
-    reps = representatives(groups, gated[:, 1] - gated[:, 0],
-                           [len(c) for c in copy_sets])
-    logger.info("tir: %d families from %d candidates", len(reps), len(gated))
-
-    accepted: List[Tuple[int, int]] = []
-    consensus: List[np.ndarray] = []
-    copy_counts: List[int] = []
-    low_copy: List[Tuple[int, int]] = []
-
-    with stage_timer("tir.boundary_adjust"):
-        for g, rep in reps.items():
-            interval = (int(gated[rep, 0]), int(gated[rep, 1]))
-            copies = copy_sets[rep]
-            result: Optional[AdjustResult] = None
-            for round_i in range(cfg.msa.boundary_rounds):
-                result = adjust_candidate(genome, interval, copies, cfg.msa,
-                                          judge, cfg.msa.min_copy_tir)
-                if not result.accepted:
-                    break
-                new_interval = (result.start, result.end)
-                if new_interval == interval:
-                    break
-                interval = new_interval
-                copies = finder.find_copies(
-                    [genome.extract(*interval)],
-                    min_coverage=0.9, max_copies=cfg.msa.max_copies)[0]
-            if result is None:
-                continue
-            if result.low_copy:
-                low_copy.append(interval)
-            elif result.accepted and \
-                    result.end - result.start >= cfg.library.min_te_len:
-                accepted.append((result.start, result.end))
-                consensus.append(result.consensus)
-                copy_counts.append(result.copy_count)
-
-    return ModuleResult(
-        accepted=CandidateSet(np.array(accepted, np.int64).reshape(-1, 2)),
-        consensus=consensus,
-        low_copy=CandidateSet(np.array(low_copy, np.int64).reshape(-1, 2)),
-        copy_counts=copy_counts,
-    )
+    return verify_families(
+        genome, gated, cfg, make_tir_judge(cfg.plant),
+        min_copies=cfg.msa.min_copy_tir, stage="tir", gindex=gindex)
