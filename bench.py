@@ -33,12 +33,13 @@ def main() -> None:
     rng = np.random.default_rng(0)
     te_seqs = ["".join("ACGT"[c] for c in rng.integers(0, 4, size=L))
                for L in (600, 1500, 3000)]
-    genome_bp = 4_000_000
+    genome_bp = 2_000_000
     genome, _ = synthetic_genome(
-        genome_bp, te_seqs, [40, 20, 10], seed=1, mutation_rate=0.05)
+        genome_bp, te_seqs, [20, 10, 5], seed=1, mutation_rate=0.05)
 
     cfg = AlignConfig(fixed_extend_base_threshold=2000)
-    params = CoarseParams(seg_len=131_072, pair_batch=64)
+    params = CoarseParams(seg_len=262_144, pair_batch=64,
+                          stride=4, max_hits=4)
 
     # warmup (compile)
     coarse_discover(genome, cfg, params)

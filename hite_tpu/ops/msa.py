@@ -102,6 +102,27 @@ def project_to_center(
     anchor_s = jnp.take_along_axis(spos, best_h[:, :, None], 2)[:, :, 0]
     off = anchor_s - qpos[:, :, 0]                  # [R, A]
 
+    # Neighbor-consensus veto: a random k-mer occasionally matches the
+    # center within diag_tol (P ~ L/4^k per position); a single such junk
+    # anchor would forward-fill a wrong offset over the rest of the row.
+    # Keep an anchor only if it agrees (within a small jitter) with its
+    # previous OR next valid anchor.
+    jitter = 8
+
+    def _shifted_fill(o, ok):
+        o1 = jnp.concatenate([jnp.zeros((R, 1), o.dtype), o[:, :-1]], axis=1)
+        ok1 = jnp.concatenate(
+            [jnp.zeros((R, 1), jnp.bool_), ok[:, :-1]], axis=1)
+        return _forward_fill(o1, ok1)
+
+    prev_off, had_prev0 = _shifted_fill(off, anchor_ok)
+    nxt, had_nxt = _shifted_fill(off[:, ::-1], anchor_ok[:, ::-1])
+    next_off, had_next0 = nxt[:, ::-1], had_nxt[:, ::-1]
+    agree_prev = had_prev0 & (jnp.abs(off - prev_off) <= jitter)
+    agree_next = had_next0 & (jnp.abs(off - next_off) <= jitter)
+    lonely = anchor_ok & ~(agree_prev | agree_next) & (had_prev0 | had_next0)
+    anchor_ok = anchor_ok & ~lonely
+
     off_ff, had_prev = _forward_fill(off, anchor_ok)
     # backward fill the head (positions before the first anchor)
     off_bf, _ = _forward_fill(off[:, ::-1], anchor_ok[:, ::-1])

@@ -15,7 +15,7 @@ onehot(right window j)>.  Size-specific motif rules (size-2 'TA', size-4
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,15 +51,23 @@ def tsd_search(
     sizes: Sequence[int] = (2, 3, 4, 5, 6, 8, 9, 10, 11),
     mismatch_min_len: int = 8,
     plant: bool = True,
+    boundary_l: Optional[int] = None,
+    boundary_r: int = 0,
 ) -> TSDHit:
     """Search for TSDs of each size in paired flank windows.
 
-    left_flank:  uint8 [B, R] — bases immediately 5' of the candidate start
-                 (the last base is adjacent to the boundary).
-    right_flank: uint8 [B, R] — bases immediately 3' of the candidate end
-                 (the first base is adjacent to the boundary).
+    left_flank:  uint8 [B, R] window around the candidate start; the element
+                 begins at offset `boundary_l` (default: R, i.e. the window
+                 is flush against the boundary).
+    right_flank: uint8 [B, R] window around the candidate end; the element
+                 ends at offset `boundary_r` (default 0).
+    The reported `dist` is the summed distance of the TSD pair from those
+    boundary offsets (the left copy should END at boundary_l, the right
+    copy should START at boundary_r).
     """
     B, R = left_flank.shape
+    if boundary_l is None:
+        boundary_l = R
     oh_l = one_hot(left_flank, dtype=jnp.float32)   # [B, R, 4]; N -> zeros
     oh_r = one_hot(right_flank, dtype=jnp.float32)
 
@@ -92,12 +100,10 @@ def tsd_search(
             ok_r &= right_flank[:, t : t + I] < 4
         allowed &= ok_l[:, :, None] & ok_r[:, None, :]
 
-        # distance of the TSD pair from the raw boundaries: the left copy
-        # should end at the right edge of the left flank (index I-1+s == R),
-        # the right copy should start at index 0.
+        # distance of the TSD pair from the raw boundaries
         i_idx = jax.lax.broadcasted_iota(jnp.int32, (I, I), 0)
         j_idx = jax.lax.broadcasted_iota(jnp.int32, (I, I), 1)
-        dist = (I - 1 - i_idx) + j_idx             # [I, J]
+        dist = jnp.abs(i_idx + s - boundary_l) + jnp.abs(j_idx - boundary_r)
         big = jnp.int32(10**6)
         cost = jnp.where(allowed, dist[None], big)
         flat = cost.reshape(B, I * I)

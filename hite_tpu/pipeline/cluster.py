@@ -35,10 +35,15 @@ class UnionFind:
 
 def cluster_by_copies(
     copy_sets: Sequence[Sequence[CopyHit]],
-    min_overlap: float = 0.5,
+    min_overlap: float = 0.7,
 ) -> np.ndarray:
-    """Group labels [N]: candidates whose copies overlap >= min_overlap
-    (of the shorter copy) share a family."""
+    """Group labels [N]: candidates whose copies RECIPROCALLY overlap >=
+    min_overlap share a family.
+
+    Reciprocal (fraction of BOTH copies) matters: chimeric candidates that
+    span two adjacent elements would otherwise bridge unrelated families
+    through containment overlaps.
+    """
     n = len(copy_sets)
     uf = UnionFind(n)
     events: List[Tuple[int, int, int]] = []  # (start, end, cand)
@@ -53,8 +58,7 @@ def cluster_by_copies(
             if j == i:
                 continue
             ov = min(ae, e) - max(as_, s)
-            shorter = min(e - s, ae - as_)
-            if shorter > 0 and ov >= min_overlap * shorter:
+            if ov >= min_overlap * (e - s) and ov >= min_overlap * (ae - as_):
                 uf.union(i, j)
         active.append((e, s, i))
     return np.array([uf.find(i) for i in range(n)])

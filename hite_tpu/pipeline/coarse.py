@@ -33,7 +33,7 @@ from hite_tpu.utils import intervals as iv
 from hite_tpu.utils.log import logger, stage_timer
 
 
-@dataclass
+@dataclass(frozen=True)
 class CoarseParams:
     """Static kernel geometry (compile-time constants)."""
 
@@ -46,6 +46,12 @@ class CoarseParams:
     max_hsps: int = 2048
     max_chains: int = 512
     pair_batch: int = 16
+
+
+@functools.lru_cache(maxsize=32)
+def get_pair_aligner(cfg: AlignConfig, params: CoarseParams) -> "PairAligner":
+    """Cached aligner so repeated runs reuse compiled kernels."""
+    return PairAligner(cfg, params)
 
 
 class PairAligner:
@@ -154,7 +160,7 @@ def coarse_discover(
     p = params or CoarseParams()
     segs = genome.segment_view(p.seg_len, use_masked=use_masked)
     n_segs = segs.shape[0]
-    aligner = PairAligner(cfg, p)
+    aligner = get_pair_aligner(cfg, p)
 
     with stage_timer("coarse.prepare"):
         km, fwd, rc = aligner.prepare(segs)

@@ -59,6 +59,33 @@ class GenomeIndex:
         self.seg_kmers = enc.kmer_codes(segs_d, cfg.kmer_size)
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_map_batch(cfg: AlignConfig, stride: int, max_hits: int,
+                      diag_band: int, run_gap: int, min_seeds: int,
+                      max_hsps: int, max_chains: int):
+    """Jitted candidate->segment mapper, cached by kernel geometry so every
+    CopyFinder (and every pipeline run) reuses the same compiled kernels."""
+    p = dict(stride=stride, max_hits=max_hits, diag_band=diag_band,
+             run_gap=run_gap, min_seeds=min_seeds, max_hsps=max_hsps)
+
+    def _map_one(cand_km, f_codes, f_pos, r_codes, r_pos):
+        hsp_kw = dict(k=cfg.kmer_size, min_hsp_len=cfg.min_hsp_len, **p)
+        chain_kw = dict(extend_threshold=cfg.fixed_extend_base_threshold,
+                        max_chains=max_chains, min_len=50)
+        fh = pair_hsps(cand_km, KmerIndex(f_codes, f_pos), **hsp_kw)
+        fc = chain_hsps(fh, **chain_kw)
+        rh = pair_hsps(cand_km, KmerIndex(r_codes, r_pos), **hsp_kw)
+        rch = chain_hsps(rh, **chain_kw)
+        return fc, rch
+
+    @jax.jit
+    def _map_batch(cand_kms, f_codes, f_pos, r_codes, r_pos):
+        fn = jax.vmap(_map_one, in_axes=(0, None, None, None, None))
+        return fn(cand_kms, f_codes, f_pos, r_codes, r_pos)
+
+    return _map_batch
+
+
 class CopyFinder:
     """Batched candidate -> genome copy mapping."""
 
@@ -66,26 +93,9 @@ class CopyFinder:
                  diag_band: int = 32, run_gap: int = 96, min_seeds: int = 4,
                  max_hsps: int = 1024, max_chains: int = 128):
         self.index = index
-        cfg = index.cfg
-        p = dict(stride=stride, max_hits=max_hits, diag_band=diag_band,
-                 run_gap=run_gap, min_seeds=min_seeds, max_hsps=max_hsps)
-
-        def _map_one(cand_km, f_codes, f_pos, r_codes, r_pos):
-            hsp_kw = dict(k=cfg.kmer_size, min_hsp_len=cfg.min_hsp_len, **p)
-            chain_kw = dict(extend_threshold=cfg.fixed_extend_base_threshold,
-                            max_chains=max_chains, min_len=50)
-            fh = pair_hsps(cand_km, KmerIndex(f_codes, f_pos), **hsp_kw)
-            fc = chain_hsps(fh, **chain_kw)
-            rh = pair_hsps(cand_km, KmerIndex(r_codes, r_pos), **hsp_kw)
-            rch = chain_hsps(rh, **chain_kw)
-            return fc, rch
-
-        @functools.partial(jax.jit, static_argnames=())
-        def _map_batch(cand_kms, f_codes, f_pos, r_codes, r_pos):
-            fn = jax.vmap(_map_one, in_axes=(0, None, None, None, None))
-            return fn(cand_kms, f_codes, f_pos, r_codes, r_pos)
-
-        self._map_batch = _map_batch
+        self._map_batch = _cached_map_batch(
+            index.cfg, stride, max_hits, diag_band, run_gap, min_seeds,
+            max_hsps, max_chains)
 
     def find_copies(
         self,

@@ -1,0 +1,148 @@
+"""Library-sequence clustering and nested-insertion removal.
+
+Replaces cd-hit-est (`get_nonRedundant_lib.py:33-49`, -c 0.8 -aS/-aL 0.95)
+and `remove_nested_lib.py` for library FASTA sets: sequences are packed
+into a spacer-separated "mini-genome" tensor, all-vs-all aligned with the
+shared seed/chain kernels, and a greedy longest-first pass keeps one
+representative per >=identity/coverage cluster; nested insertions
+(a shorter entry embedded >=95% inside a longer one) are excised.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hite_tpu.config import AlignConfig
+from hite_tpu.genome import Genome
+from hite_tpu.pipeline.copies import CopyFinder, GenomeIndex
+from hite_tpu.utils.log import logger
+
+SPACER = 100
+
+
+def _pack(seqs: Sequence[np.ndarray]) -> Tuple[Genome, np.ndarray]:
+    """Pack sequences into a mini-genome; returns (genome, starts [N])."""
+    g = Genome.from_dict({f"s{i}": s for i, s in enumerate(seqs)})
+    return g, g.starts.copy()
+
+
+def _all_pairs_hits(
+    seqs: Sequence[np.ndarray],
+    cfg: AlignConfig,
+    min_chain: int = 50,
+) -> List[List[Tuple[int, int, int, int, int, int]]]:
+    """For each seq: list of (other, qs, qe, os, oe, nseeds) chain hits."""
+    mini, starts = _pack(seqs)
+    seg_len = 1 << max(14, (len(mini.flat) - 1).bit_length() - 2)
+    seg_len = min(seg_len, 1 << 18)
+    gindex = GenomeIndex(mini, cfg, seg_len=seg_len)
+    finder = CopyFinder(gindex, max_chains=256)
+
+    # map every sequence against the mini-genome; hits on other sequences
+    # give pairwise coverage
+    hits: List[List[Tuple[int, int, int, int, int, int]]] = [[] for _ in seqs]
+    copy_sets = finder.find_copies(list(seqs), min_coverage=0.0,
+                                  max_copies=256, max_len_ratio=10.0)
+    ends = starts + np.array([len(s) for s in seqs])
+    for i, chs in enumerate(copy_sets):
+        for h in chs:
+            j_arr = np.searchsorted(starts, h.start, side="right") - 1
+            j = int(np.clip(j_arr, 0, len(seqs) - 1))
+            if j == i:
+                continue
+            if h.end > ends[j] + SPACER // 2:
+                continue
+            os_ = max(0, h.start - starts[j])
+            oe = min(len(seqs[j]), h.end - starts[j])
+            if oe - os_ >= min_chain:
+                hits[i].append((j, 0, 0, int(os_), int(oe), h.nseeds))
+    return hits
+
+
+def cluster_seqs(
+    seqs: Sequence[np.ndarray],
+    cfg: AlignConfig,
+    *,
+    identity: float = 0.8,
+    coverage: float = 0.95,
+) -> Tuple[np.ndarray, List[int]]:
+    """Greedy longest-first clustering.
+
+    Returns (labels [N] — index of each sequence's representative,
+    representative indices in priority order).
+    """
+    n = len(seqs)
+    if n == 0:
+        return np.zeros(0, np.int64), []
+    lens = np.array([len(s) for s in seqs])
+    # coverage[i][j]: fraction of seq i covered by alignments to seq j
+    cov = np.zeros((n, n))
+    hits = _all_pairs_hits(seqs, cfg)
+    for i, hs in enumerate(hits):
+        by_j: Dict[int, List[Tuple[int, int]]] = {}
+        for (j, _qs, _qe, os_, oe, _ns) in hs:
+            by_j.setdefault(j, []).append((os_, oe))
+        for j, spans in by_j.items():
+            merged: List[Tuple[int, int]] = []
+            for s0, e0 in sorted(spans):
+                if merged and s0 <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e0))
+                else:
+                    merged.append((s0, e0))
+            covered = sum(e0 - s0 for s0, e0 in merged)
+            cov[j, i] = covered / max(lens[j], 1)  # fraction of j covered by i's mapping
+    order = np.argsort(-lens, kind="stable")
+    labels = np.full(n, -1, np.int64)
+    reps: List[int] = []
+    for i in order:
+        if labels[i] >= 0:
+            continue
+        labels[i] = i
+        reps.append(int(i))
+        for j in order:
+            if labels[j] >= 0 or j == i:
+                continue
+            if cov[j, i] >= coverage or cov[i, j] >= coverage * lens[j] / max(lens[i], 1):
+                labels[j] = i
+    return labels, reps
+
+
+def remove_nested(
+    seqs: Sequence[np.ndarray],
+    cfg: AlignConfig,
+    *,
+    coverage: float = 0.95,
+    min_interior_margin: int = 50,
+) -> List[np.ndarray]:
+    """Excise nested insertions of shorter entries inside longer ones.
+
+    Decision-level `remove_nested_lib.py:29-117`: when >=coverage of a
+    shorter entry aligns strictly inside a longer entry (away from its
+    ends), the inserted span is cut out of the longer entry.
+    """
+    n = len(seqs)
+    out = [s.copy() for s in seqs]
+    hits = _all_pairs_hits(seqs, cfg)
+    lens = np.array([len(s) for s in seqs])
+    cut_spans: List[List[Tuple[int, int]]] = [[] for _ in range(n)]
+    for i, hs in enumerate(hits):
+        # i maps into j: if i is shorter and lands interior to j, mark the cut
+        for (j, _qs, _qe, os_, oe, _ns) in hs:
+            if lens[i] >= lens[j]:
+                continue
+            if (oe - os_) < coverage * lens[i]:
+                continue
+            if os_ > min_interior_margin and oe < lens[j] - min_interior_margin:
+                cut_spans[j].append((os_, oe))
+    for j, spans in enumerate(cut_spans):
+        if not spans:
+            continue
+        keep = np.ones(lens[j], bool)
+        for s0, e0 in spans:
+            keep[s0:e0] = False
+        out[j] = out[j][keep]
+        logger.info("remove_nested: excised %d bp from entry %d",
+                    int((~keep).sum()), j)
+    return out

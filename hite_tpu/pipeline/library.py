@@ -1,0 +1,153 @@
+"""Non-redundant classified TE library assembly.
+
+Re-implements `module/get_nonRedundant_lib.py` (SURVEY.md §2.A): per-type
+clustering + renaming, LTR-vs-other-TE containment removal, classification,
+merge with the classified LTR library and optional curated library, nested
+removal, and the final consensus clustering that yields
+`confident_TE.cons.fa`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hite_tpu.config import PipelineConfig
+from hite_tpu.genome import Genome
+from hite_tpu.pipeline.libcluster import cluster_seqs, remove_nested
+from hite_tpu.pipeline.ltr import LTRResult
+from hite_tpu.pipeline.verify import ModuleResult
+from hite_tpu.utils.log import logger, stage_timer
+
+
+def _module_seqs(genome: Genome, result: ModuleResult) -> List[np.ndarray]:
+    """Per-family sequence: MSA consensus when present, else excision."""
+    out = []
+    for i, (s, e) in enumerate(result.accepted.intervals):
+        cons = result.consensus[i] if i < len(result.consensus) else None
+        out.append(cons if cons is not None and len(cons) else
+                   genome.extract(int(s), int(e)))
+    return out
+
+
+def _cluster_and_name(
+    seqs: List[np.ndarray],
+    cfg: PipelineConfig,
+    prefix: str,
+    te_class: str,
+    labels: Optional[Sequence[str]] = None,
+) -> Dict[str, np.ndarray]:
+    if not seqs:
+        return {}
+    lab, reps = cluster_seqs(seqs, cfg.align,
+                             identity=cfg.library.cluster_identity,
+                             coverage=cfg.library.cluster_cov_short)
+    out = {}
+    for n, r in enumerate(reps):
+        cls = labels[r] if labels is not None else te_class
+        out[f"{prefix}_{n}#{cls}"] = seqs[r]
+    return out
+
+
+def build_library(
+    genome: Genome,
+    cfg: PipelineConfig,
+    tir: Optional[ModuleResult] = None,
+    helitron: Optional[ModuleResult] = None,
+    non_ltr: Optional[ModuleResult] = None,
+    ltr: Optional[LTRResult] = None,
+    other: Optional[Dict[str, np.ndarray]] = None,
+    curated: Optional[Dict[str, np.ndarray]] = None,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Assemble per-type and merged libraries.
+
+    Returns {"tir", "helitron", "non_ltr", "other", "ltr_cut", "ltr_intact",
+    "merged"} -> {name: codes} dicts (names carry `#Class` suffixes).
+    """
+    libs: Dict[str, Dict[str, np.ndarray]] = {}
+
+    with stage_timer("library.per_type"):
+        if tir is not None and len(tir.accepted):
+            libs["tir"] = _cluster_and_name(
+                _module_seqs(genome, tir), cfg, "TIR", "DNA")
+        if helitron is not None and len(helitron.accepted):
+            libs["helitron"] = _cluster_and_name(
+                _module_seqs(genome, helitron), cfg, "Helitron", "RC/Helitron")
+        if non_ltr is not None and len(non_ltr.accepted):
+            type_labels = list(non_ltr.accepted.meta.get(
+                "te_type", ["LINE"] * len(non_ltr.accepted)))
+            libs["non_ltr"] = _cluster_and_name(
+                _module_seqs(genome, non_ltr), cfg, "Non_LTR", "LINE",
+                labels=type_labels)
+        if other:
+            libs["other"] = dict(other)
+
+    with stage_timer("library.ltr"):
+        if ltr is not None and ltr.records:
+            cut: Dict[str, np.ndarray] = {}
+            intact: Dict[str, np.ndarray] = {}
+            terminals = ltr.terminal_seqs(genome)
+            internals = ltr.internal_seqs(genome)
+            t_lab, t_reps = cluster_seqs(
+                terminals, cfg.align, identity=cfg.ltr.dedup_terminal_cov,
+                coverage=cfg.ltr.dedup_terminal_cov)
+            i_lab, i_reps = cluster_seqs(
+                internals, cfg.align, identity=cfg.ltr.dedup_internal_cov,
+                coverage=cfg.ltr.dedup_internal_cov)
+            for n, r in enumerate(t_reps):
+                cut[f"LTR_{n}-LTR#LTR"] = terminals[r]
+            for n, r in enumerate(i_reps):
+                cut[f"LTR_{n}-I#LTR"] = internals[r]
+            for n, rec in enumerate(ltr.records):
+                intact[f"Intact_LTR_{n}#LTR"] = genome.extract(rec.start, rec.end)
+            libs["ltr_cut"] = cut
+            libs["ltr_intact"] = intact
+
+    # "LTRs consist of other TE elements" removal
+    # (`get_nonRedundant_lib.py:60-61`): drop LTR entries whose sequence is
+    # >= 95% covered by a TIR/Helitron/non-LTR consensus
+    with stage_timer("library.ltr_containment"):
+        inner = {}
+        for key in ("tir", "helitron", "non_ltr"):
+            inner.update(libs.get(key, {}))
+        if inner and libs.get("ltr_cut"):
+            ltr_names = list(libs["ltr_cut"].keys())
+            ltr_seqs = [libs["ltr_cut"][n] for n in ltr_names]
+            pool = ltr_seqs + list(inner.values())
+            lab, _ = cluster_seqs(pool, cfg.align, identity=0.8,
+                                  coverage=cfg.library.full_length_cov)
+            drop = set()
+            for i, name in enumerate(ltr_names):
+                rep = lab[i]
+                if rep != i and rep >= len(ltr_seqs):
+                    drop.add(name)
+            for name in drop:
+                del libs["ltr_cut"][name]
+            if drop:
+                logger.info("library: dropped %d LTR entries contained in "
+                            "other TE consensi", len(drop))
+
+    # merge + final clustering
+    with stage_timer("library.merge"):
+        merged_entries: List[Tuple[str, np.ndarray]] = []
+        for key in ("tir", "helitron", "non_ltr", "other", "ltr_cut"):
+            merged_entries.extend(libs.get(key, {}).items())
+        if curated:
+            merged_entries.extend(curated.items())
+        names = [n for n, _ in merged_entries]
+        seqs = [s for _, s in merged_entries]
+        merged: Dict[str, np.ndarray] = {}
+        if seqs:
+            if cfg.remove_nested and len(seqs) > 1:
+                seqs = remove_nested(seqs, cfg.align,
+                                     coverage=cfg.library.nested_coverage)
+            lab, reps = cluster_seqs(seqs, cfg.align,
+                                     identity=cfg.library.cluster_identity,
+                                     coverage=cfg.library.cluster_cov_short)
+            for r in reps:
+                if len(seqs[r]) >= cfg.library.min_te_len:
+                    merged[names[r]] = seqs[r]
+        libs["merged"] = merged
+    logger.info("library: %d merged entries", len(libs.get("merged", {})))
+    return libs

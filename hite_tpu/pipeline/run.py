@@ -1,0 +1,208 @@
+"""End-to-end single-genome pipeline driver.
+
+Re-implements `main.py`'s stage orchestration (SURVEY.md §3.1) as one
+in-process dataflow — no per-stage OS processes or scratch/copy-back file
+contracts.  The genome stays resident (and is progressively masked in
+place of the reference's `prev_TE.fa` accumulator, `Util.py:6378-6388`);
+stages exchange candidate tables and library dicts directly.
+
+Output-file parity (the reference's demo acceptance set, README.md:152-160):
+  confident_tir.fa, confident_helitron.fa, confident_non_ltr.fa,
+  confident_other.fa, confident_ltr_cut.fa.cons, confident_TE.cons.fa,
+plus intact_LTR.list, low_confident_TE.fa, and (with annotate=True)
+{genome}.gff/.out/.tbl/.full_length.gff.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+from hite_tpu.config import PipelineConfig
+from hite_tpu.genome import Genome
+from hite_tpu.io.fasta import read_fasta, write_fasta
+from hite_tpu.pipeline.annotate import annotate_genome, write_annotation
+from hite_tpu.pipeline.coarse import CoarseParams, coarse_discover
+from hite_tpu.pipeline.copies import GenomeIndex
+from hite_tpu.pipeline.helitron import run_helitron_detection
+from hite_tpu.pipeline.library import build_library
+from hite_tpu.pipeline.ltr import LTRResult, run_ltr_detection
+from hite_tpu.pipeline.non_ltr import run_non_ltr_detection
+from hite_tpu.pipeline.other import run_other_detection
+from hite_tpu.pipeline.tir import run_tir_detection
+from hite_tpu.pipeline.verify import ModuleResult
+from hite_tpu.utils.log import STAGE_TIMES, logger, stage_timer
+
+
+@dataclass
+class RunResult:
+    libs: Dict[str, Dict[str, np.ndarray]]
+    tir: Optional[ModuleResult] = None
+    helitron: Optional[ModuleResult] = None
+    non_ltr: Optional[ModuleResult] = None
+    ltr: Optional[LTRResult] = None
+    metrics: Dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    genome: Genome,
+    cfg: PipelineConfig,
+    out_dir: Optional[str] = None,
+    coarse_params: Optional[CoarseParams] = None,
+) -> RunResult:
+    cfg = cfg.with_genome_size(genome.size)
+    params = coarse_params or CoarseParams()
+    want = (lambda t: cfg.te_type in ("all", t))
+
+    # stage 0: curated-library homology (masks strong hits first, like the
+    # reference's --curated_lib pre-mask + judge_Other stage)
+    other = run_other_detection(genome, cfg, cfg.curated_lib)
+
+    # stage 1: coarse de-novo discovery on the (masked) genome
+    genome.init_mask()
+    with stage_timer("pipeline.coarse"):
+        coarse = coarse_discover(genome, cfg.align, params)
+
+    gindex = GenomeIndex(genome, cfg.align, seg_len=params.seg_len)
+
+    tir = helitron = non_ltr = None
+    found_intervals = []
+    if want("tir"):
+        tir = run_tir_detection(genome, coarse, cfg, gindex)
+        found_intervals.append(tir.accepted.intervals)
+    if want("helitron"):
+        helitron = run_helitron_detection(genome, coarse, cfg, gindex)
+        found_intervals.append(helitron.accepted.intervals)
+    if want("non-ltr") and cfg.is_denovo_nonltr:
+        non_ltr = run_non_ltr_detection(genome, coarse, cfg, gindex)
+        found_intervals.append(non_ltr.accepted.intervals)
+
+    # stage 3: LTR on the genome masked with everything found so far
+    # (reference judge_LTR_transposons.py:111)
+    ltr = None
+    if want("ltr"):
+        masked_bp = genome.mask_intervals(
+            (int(s), int(e))
+            for arr in found_intervals for s, e in arr)
+        logger.info("pipeline: masked %d bp before LTR stage", masked_bp)
+        ltr = run_ltr_detection(genome, cfg, gindex,
+                                seg_len=params.seg_len)
+
+    # stage 4: library assembly
+    curated = read_fasta(cfg.curated_lib) if (
+        cfg.curated_lib and os.path.exists(cfg.curated_lib)) else None
+    libs = build_library(genome, cfg, tir=tir, helitron=helitron,
+                         non_ltr=non_ltr, ltr=ltr, other=other,
+                         curated=curated)
+
+    result = RunResult(libs=libs, tir=tir, helitron=helitron,
+                       non_ltr=non_ltr, ltr=ltr)
+
+    if out_dir:
+        write_outputs(out_dir, genome, cfg, result)
+
+    # stage 5: annotation
+    if cfg.annotate and libs.get("merged"):
+        hits = annotate_genome(genome, libs["merged"], cfg, gindex)
+        if out_dir:
+            write_annotation(os.path.join(out_dir, "genome"), hits, genome)
+        result.metrics["annotation_hits"] = len(hits)
+
+    result.metrics["stage_times"] = dict(STAGE_TIMES)
+    return result
+
+
+def write_outputs(out_dir: str, genome: Genome, cfg: PipelineConfig,
+                  result: RunResult) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    libs = result.libs
+
+    def dump(name: str, entries: Dict[str, np.ndarray]):
+        write_fasta(os.path.join(out_dir, name), entries)
+
+    dump("confident_tir.fa", libs.get("tir", {}))
+    dump("confident_helitron.fa", libs.get("helitron", {}))
+    dump("confident_non_ltr.fa", libs.get("non_ltr", {}))
+    dump("confident_other.fa", libs.get("other", {}))
+    dump("confident_ltr_cut.fa.cons", libs.get("ltr_cut", {}))
+    dump("confident_TE.cons.fa", libs.get("merged", {}))
+
+    # low-copy pool for pan-genome rescue (reference *_low_copy.fa)
+    low = {}
+    for mod, prefix in ((result.tir, "tir"), (result.helitron, "helitron"),
+                        (result.non_ltr, "non_ltr")):
+        if mod is None:
+            continue
+        for i, (s, e) in enumerate(mod.low_copy.intervals):
+            low[f"{prefix}_low_{i}-{genome.location_str(int(s), int(e))}"] = \
+                genome.extract(int(s), int(e))
+    dump("low_confident_TE.fa", low)
+
+    # intact LTR list (LTR_retriever .pass.list layout parity:
+    # FiLTR src/Util.py:4146-4172)
+    if result.ltr is not None:
+        path = os.path.join(out_dir, "intact_LTR.list")
+        with open(path, "w") as fh:
+            fh.write("#LTR_loc\tCategory\tMotif\tTSD\t5'_TSD\t3'_TSD\t"
+                     "Internal\tIdentity\tStrand\tSuperFamily\tTE_type\t"
+                     "Insertion_Time\n")
+            for r in result.ltr.records:
+                ci, local = genome.contig_of(np.array([r.start]))
+                name = genome.names[int(ci[0])]
+                s = int(local[0])
+                fh.write(
+                    f"{name}:{s + 1}..{s + (r.end - r.start)}\tpass\t"
+                    f"motif:TGCA\tTSD:{r.tsd_len}\t.\t.\t"
+                    f"IN:{r.lltr_end - r.start}..{r.rltr_start - r.start}\t"
+                    f"{r.identity:.4f}\t+\tunknown\tLTR\t"
+                    f"{int(r.insert_time)}\n")
+
+    with open(os.path.join(out_dir, "stage_times.json"), "w") as fh:
+        json.dump({k: round(v, 3) for k, v in STAGE_TIMES.items()}, fh,
+                  indent=2)
+
+
+def main(argv=None) -> None:
+    """CLI with reference `main.py` flag names (subset that survives the
+    redesign; process-management flags are obsolete)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="hite_tpu: TPU-native TE discovery and annotation")
+    p.add_argument("--genome", required=True)
+    p.add_argument("--out_dir", default=".")
+    p.add_argument("--te_type", default="all",
+                   choices=["ltr", "tir", "helitron", "non-ltr", "all"])
+    p.add_argument("--plant", type=int, default=1)
+    p.add_argument("--miu", type=float, default=1.3e-8)
+    p.add_argument("--curated_lib", default=None)
+    p.add_argument("--annotate", type=int, default=0)
+    p.add_argument("--remove_nested", type=int, default=1)
+    p.add_argument("--is_denovo_nonltr", type=int, default=1)
+    p.add_argument("--min_TE_len", type=int, default=80)
+    p.add_argument("--chrom_seg_length", type=int, default=131_072)
+    args = p.parse_args(argv)
+
+    import dataclasses
+
+    cfg = PipelineConfig(
+        genome=args.genome, out_dir=args.out_dir, te_type=args.te_type,
+        plant=bool(args.plant), curated_lib=args.curated_lib,
+        annotate=bool(args.annotate), remove_nested=bool(args.remove_nested),
+        is_denovo_nonltr=bool(args.is_denovo_nonltr),
+    )
+    cfg = cfg.replace(
+        ltr=dataclasses.replace(cfg.ltr, miu=args.miu),
+        library=dataclasses.replace(cfg.library, min_te_len=args.min_TE_len),
+    )
+    genome = Genome.from_fasta(args.genome)
+    params = CoarseParams(seg_len=args.chrom_seg_length)
+    run_pipeline(genome, cfg, out_dir=args.out_dir, coarse_params=params)
+
+
+if __name__ == "__main__":
+    main()

@@ -120,7 +120,8 @@ def structural_gate(
         flanks_r = np.stack([s[-W:] if len(s) >= 2 * W else blank
                              for s in seqs] + [blank] * (n_rows - len(seqs)))
         hit = tsd_search(jnp.asarray(flanks_l), jnp.asarray(flanks_r),
-                         sizes=tcfg.sizes, plant=cfg.plant)
+                         sizes=tcfg.sizes, plant=cfg.plant,
+                         boundary_l=flank, boundary_r=20)
         found = np.asarray(hit.found)
         dist = np.asarray(hit.dist)
         lp = np.asarray(hit.left_pos)

@@ -62,9 +62,11 @@ def verify_families(
             [genome.extract(s, e) for s, e in gated],
             min_coverage=min_coverage, max_copies=cfg.msa.max_copies)
     groups = cluster_by_copies(copy_sets)
-    reps = representatives(groups, gated[:, 1] - gated[:, 0],
-                           [len(c) for c in copy_sets])
-    logger.info("%s: %d families from %d candidates", stage, len(reps), len(gated))
+    members: dict = {}
+    for i, g in enumerate(groups):
+        members.setdefault(int(g), []).append(i)
+    logger.info("%s: %d families from %d candidates", stage, len(members),
+                len(gated))
 
     accepted: List[Tuple[int, int]] = []
     consensus: List[np.ndarray] = []
@@ -72,32 +74,42 @@ def verify_families(
     low_copy: List[Tuple[int, int]] = []
 
     with stage_timer(f"{stage}.boundary_adjust"):
-        for g, rep in reps.items():
-            interval = (int(gated[rep, 0]), int(gated[rep, 1]))
-            copies = copy_sets[rep]
-            result: Optional[AdjustResult] = None
-            for _round in range(cfg.msa.boundary_rounds):
-                result = adjust_candidate(genome, interval, copies, cfg.msa,
-                                          judge, min_copies)
-                if not result.accepted:
+        for g, idxs in members.items():
+            # try up to 3 members per family, best-supported first
+            idxs = sorted(idxs, key=lambda i: (-len(copy_sets[i]),
+                                               -(gated[i, 1] - gated[i, 0])))
+            family_done = False
+            family_low: Optional[Tuple[int, int]] = None
+            for rep in idxs[:3]:
+                interval = (int(gated[rep, 0]), int(gated[rep, 1]))
+                copies = copy_sets[rep]
+                result: Optional[AdjustResult] = None
+                for _round in range(cfg.msa.boundary_rounds):
+                    result = adjust_candidate(genome, interval, copies,
+                                              cfg.msa, judge, min_copies)
+                    if not result.accepted:
+                        break
+                    new_interval = (result.start, result.end)
+                    if new_interval == interval:
+                        break
+                    interval = new_interval
+                    copies = finder.find_copies(
+                        [genome.extract(*interval)],
+                        min_coverage=min_coverage,
+                        max_copies=cfg.msa.max_copies)[0]
+                if result is None:
+                    continue
+                if result.low_copy:
+                    family_low = family_low or interval
+                elif result.accepted and \
+                        result.end - result.start >= cfg.library.min_te_len:
+                    accepted.append((result.start, result.end))
+                    consensus.append(result.consensus)
+                    copy_counts.append(result.copy_count)
+                    family_done = True
                     break
-                new_interval = (result.start, result.end)
-                if new_interval == interval:
-                    break
-                interval = new_interval
-                copies = finder.find_copies(
-                    [genome.extract(*interval)],
-                    min_coverage=min_coverage,
-                    max_copies=cfg.msa.max_copies)[0]
-            if result is None:
-                continue
-            if result.low_copy:
-                low_copy.append(interval)
-            elif result.accepted and \
-                    result.end - result.start >= cfg.library.min_te_len:
-                accepted.append((result.start, result.end))
-                consensus.append(result.consensus)
-                copy_counts.append(result.copy_count)
+            if not family_done and family_low is not None:
+                low_copy.append(family_low)
 
     return ModuleResult(
         accepted=CandidateSet(np.array(accepted, np.int64).reshape(-1, 2)),
