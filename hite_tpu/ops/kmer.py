@@ -32,12 +32,8 @@ class KmerIndex(NamedTuple):
     pos: jnp.ndarray
 
 
-def build_index(seg_codes: jnp.ndarray, k: int) -> KmerIndex:
-    """Build a sorted k-mer index of a segment (or batch: leading dims map).
-
-    seg_codes: uint8 [..., S] nucleotide codes.
-    """
-    km = kmer_codes(seg_codes, k)  # [..., S-k+1]
+def build_index_from_kmers(km: jnp.ndarray) -> KmerIndex:
+    """Sort precomputed k-mer codes (any alphabet; -1 = invalid)."""
     km = jnp.where(km < 0, INVALID_CODE, km)
     n = km.shape[-1]
     positions = jnp.broadcast_to(
@@ -45,6 +41,14 @@ def build_index(seg_codes: jnp.ndarray, k: int) -> KmerIndex:
     )
     sort_codes, sort_pos = jax.lax.sort((km, positions), num_keys=1)
     return KmerIndex(codes=sort_codes, pos=sort_pos)
+
+
+def build_index(seg_codes: jnp.ndarray, k: int) -> KmerIndex:
+    """Build a sorted k-mer index of a segment (or batch: leading dims map).
+
+    seg_codes: uint8 [..., S] nucleotide codes.
+    """
+    return build_index_from_kmers(kmer_codes(seg_codes, k))
 
 
 def lookup(index: KmerIndex, query_codes: jnp.ndarray, max_hits: int):

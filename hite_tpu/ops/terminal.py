@@ -44,11 +44,15 @@ def batched_local_align(
     match: int = 2,
     mismatch: int = -3,
     gap: int = 4,
+    submatrix: jnp.ndarray | None = None,
+    invalid_code: int = 4,
 ) -> LocalAlign:
     """Smith-Waterman between a[B, La] and b[B, Lb] code arrays.
 
-    N (code 4) never matches.  Returns the best-scoring cell per batch row
-    with its alignment start, match count and length.
+    By default nucleotide scoring (match/mismatch; code >= 4 never
+    matches).  With `submatrix` (int32 [A, A], e.g. BLOSUM62 over amino
+    acids) scores come from the matrix and `invalid_code` marks padding —
+    this is the protein mode used by the blastx-replacement domain engine.
     """
     B, La = a.shape
     Lb = b.shape[1]
@@ -86,8 +90,14 @@ def batched_local_align(
 
         a_sym = jnp.take_along_axis(a32, jnp.clip(i_arr - 1, 0, La - 1), axis=1)
         b_sym = jnp.take_along_axis(b32, jnp.clip(j_arr - 1, 0, Lb - 1), axis=1)
-        is_match = (a_sym == b_sym) & (a_sym < 4) & (b_sym < 4)
-        sub = jnp.where(is_match, match, mismatch)
+        ok = (a_sym < invalid_code) & (b_sym < invalid_code)
+        is_match = (a_sym == b_sym) & ok
+        if submatrix is not None:
+            sub = submatrix[jnp.clip(a_sym, 0, submatrix.shape[0] - 1),
+                            jnp.clip(b_sym, 0, submatrix.shape[1] - 1)]
+            sub = jnp.where(ok, sub, mismatch)
+        else:
+            sub = jnp.where(is_match, match, mismatch)
 
         d_h = shift_right(prev2["h"])
         u_h = shift_right(prev1["h"])
