@@ -1,0 +1,195 @@
+"""Pan-genome TE analysis (panHiTE equivalent).
+
+Re-implements `panHiTE.py` / `panHiTE.nf` (SURVEY.md §3.5): per-genome
+HiTE runs (independent -> per-host data parallelism over DCN in a real
+deployment), merged pan-TE library with redundancy removal
+(`pan_remove_redundancy.py`), cross-genome low-copy rescue
+(`pan_recover_low_copy_TEs.py`: a candidate too rare in one genome is
+re-validated with copies accumulated across ALL genomes), per-genome
+annotation, and population analytics: core / softcore / dispensable /
+private partitioning by genome occupancy
+(`get_core_softcore_dispensable_private_uknown_TEs` `Util.py:13465`) and
+presence/absence (PAV) matrices (`generate_fl_panTE_PAV` `Util.py:14461`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from hite_tpu.config import PipelineConfig
+from hite_tpu.genome import Genome
+from hite_tpu.io.fasta import write_fasta
+from hite_tpu.pipeline.annotate import annotate_genome
+from hite_tpu.pipeline.boundary_adjust import FamilyAnalysis, adjust_candidate
+from hite_tpu.pipeline.coarse import CoarseParams
+from hite_tpu.pipeline.copies import CopyFinder, CopyHit, GenomeIndex
+from hite_tpu.pipeline.libcluster import cluster_seqs
+from hite_tpu.pipeline.run import RunResult, run_pipeline
+from hite_tpu.utils.log import logger, stage_timer
+
+
+@dataclass
+class PanResult:
+    pan_lib: Dict[str, np.ndarray]
+    per_genome: Dict[str, RunResult]
+    occupancy: Dict[str, int] = field(default_factory=dict)
+    classification: Dict[str, str] = field(default_factory=dict)
+    pav: Optional[np.ndarray] = None          # [families, genomes] copy counts
+    pav_families: List[str] = field(default_factory=list)
+    pav_genomes: List[str] = field(default_factory=list)
+    rescued: int = 0
+
+
+def _homology_judge(fa: FamilyAnalysis) -> Tuple[bool, int, int]:
+    """Generic pan-rescue judge: clean homology boundaries on both sides."""
+    return (fa.left_found and fa.right_found), fa.left_pos, fa.right_pos
+
+
+def run_pan_pipeline(
+    genomes: Dict[str, Genome],
+    cfg: PipelineConfig,
+    out_dir: Optional[str] = None,
+    coarse_params: Optional[CoarseParams] = None,
+    softcore_frac: float = 0.9,
+    min_pan_copies: int = 5,
+) -> PanResult:
+    params = coarse_params or CoarseParams()
+
+    # stage 1: independent per-genome runs (the reference fans these out as
+    # Nextflow processes; on a multi-host TPU deployment each host takes a
+    # genome — the runs share no state)
+    per_genome: Dict[str, RunResult] = {}
+    for name, g in genomes.items():
+        with stage_timer(f"pan.run.{name}"):
+            per_genome[name] = run_pipeline(g, cfg, coarse_params=params)
+
+    # stage 2: merged non-redundant pan library
+    with stage_timer("pan.merge_lib"):
+        entries: List[Tuple[str, np.ndarray]] = []
+        for gname, res in per_genome.items():
+            for ename, seq in res.libs.get("merged", {}).items():
+                entries.append((f"{gname}:{ename}", seq))
+        pan_lib: Dict[str, np.ndarray] = {}
+        if entries:
+            seqs = [s for _, s in entries]
+            _, reps = cluster_seqs(seqs, cfg.align,
+                                   identity=cfg.library.cluster_identity,
+                                   coverage=cfg.library.cluster_cov_short)
+            for r in reps:
+                pan_lib[entries[r][0]] = seqs[r]
+
+    # per-genome indexes reused for rescue + occupancy
+    gindexes = {n: GenomeIndex(g, cfg.align, seg_len=params.seg_len)
+                for n, g in genomes.items()}
+    finders = {n: CopyFinder(gindexes[n]) for n in genomes}
+
+    # stage 3: cross-genome low-copy rescue (pan_recover_low_copy_TEs)
+    rescued = 0
+    with stage_timer("pan.low_copy_rescue"):
+        for gname, res in per_genome.items():
+            home = genomes[gname]
+            for mod in (res.tir, res.helitron, res.non_ltr):
+                if mod is None:
+                    continue
+                for (s, e) in mod.low_copy.intervals:
+                    cand = home.extract(int(s), int(e))
+                    if len(cand) < cfg.library.min_te_len:
+                        continue
+                    # accumulate copies across every genome
+                    pan_copies: List[Tuple[str, CopyHit]] = []
+                    for oname in genomes:
+                        for h in finders[oname].find_copies(
+                                [cand], min_coverage=0.9,
+                                max_copies=cfg.msa.max_copies)[0]:
+                            pan_copies.append((oname, h))
+                    if len(pan_copies) < min_pan_copies:
+                        continue
+                    # re-judge with copies from the home genome only for
+                    # matrix building (cross-genome frames concatenate in the
+                    # reference; decision-level: enough pan support + clean
+                    # boundaries in the home genome MSA)
+                    home_hits = [h for on, h in pan_copies if on == gname]
+                    if len(home_hits) < 2:
+                        home_hits = [h for _on, h in pan_copies][:cfg.msa.max_copies]
+                    result = adjust_candidate(
+                        home, (int(s), int(e)), home_hits, cfg.msa,
+                        _homology_judge, min_copies=2)
+                    if result.accepted:
+                        key = f"{gname}:rescued_{rescued}#Unknown"
+                        pan_lib[key] = home.extract(result.start, result.end)
+                        rescued += 1
+    logger.info("pan: rescued %d low-copy families across genomes", rescued)
+
+    # stage 4: occupancy + PAV via full-length copies per genome
+    fam_names = list(pan_lib.keys())
+    pav = np.zeros((len(fam_names), len(genomes)), np.int32)
+    with stage_timer("pan.occupancy"):
+        for gj, (gname, g) in enumerate(genomes.items()):
+            counts = finders[gname].find_copies(
+                [pan_lib[f] for f in fam_names],
+                min_coverage=cfg.library.full_length_cov,
+                max_copies=cfg.msa.max_copies)
+            for fi, hits in enumerate(counts):
+                pav[fi, gj] = len(hits)
+
+    occupancy = {f: int((pav[i] > 0).sum()) for i, f in enumerate(fam_names)}
+    n = len(genomes)
+    classification = {}
+    for f, occ in occupancy.items():
+        if occ == n:
+            classification[f] = "core"
+        elif occ >= max(2, int(np.ceil(softcore_frac * n))):
+            classification[f] = "softcore"
+        elif occ > 1:
+            classification[f] = "dispensable"
+        elif occ == 1:
+            classification[f] = "private"
+        else:
+            classification[f] = "unknown"
+
+    result = PanResult(pan_lib=pan_lib, per_genome=per_genome,
+                       occupancy=occupancy, classification=classification,
+                       pav=pav, pav_families=fam_names,
+                       pav_genomes=list(genomes.keys()), rescued=rescued)
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        write_fasta(os.path.join(out_dir, "panTE.fa"), pan_lib)
+        with open(os.path.join(out_dir, "pan_classification.json"), "w") as fh:
+            json.dump({"occupancy": occupancy,
+                       "classification": classification}, fh, indent=2)
+        with open(os.path.join(out_dir, "pan_PAV.tsv"), "w") as fh:
+            fh.write("family\t" + "\t".join(result.pav_genomes) + "\n")
+            for i, f in enumerate(fam_names):
+                fh.write(f + "\t" + "\t".join(map(str, pav[i])) + "\n")
+    return result
+
+
+def gene_te_associations(
+    genome: Genome,
+    te_hits,
+    gene_intervals: Dict[str, Tuple[str, int, int]],
+    window: int = 10_000,
+) -> List[Tuple[str, str, int]]:
+    """TE<->gene associations within +-window bp
+    (`find_gene_relation_tes` `Util.py:11568`, window `:11747`).
+
+    gene_intervals: {gene_id: (contig, start, end)} 1-based.
+    Returns (gene_id, te_family, distance) tuples (0 = overlapping).
+    """
+    out: List[Tuple[str, str, int]] = []
+    by_contig: Dict[str, List] = {}
+    for h in te_hits:
+        by_contig.setdefault(h.contig, []).append(h)
+    for gid, (contig, gs, ge) in gene_intervals.items():
+        for h in by_contig.get(contig, []):
+            if h.start > ge + window or h.end < gs - window:
+                continue
+            dist = max(0, max(gs - h.end, h.start - ge))
+            out.append((gid, h.family, dist))
+    return out

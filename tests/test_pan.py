@@ -1,0 +1,64 @@
+"""Pan-genome mode test: 3 genomes, core/dispensable/private partitioning."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hite_tpu.config import PipelineConfig, AlignConfig
+from hite_tpu.genome import Genome
+from hite_tpu.pipeline.coarse import CoarseParams
+from hite_tpu.pipeline.pan import run_pan_pipeline
+
+
+def _tir_te(rng, core_len=460, tir_len=20):
+    tir = rng.integers(0, 4, tir_len).astype(np.uint8)
+    while tir[0] == 3 and tir[1] == 2:
+        tir = rng.integers(0, 4, tir_len).astype(np.uint8)
+    return np.concatenate([tir, rng.integers(0, 4, core_len).astype(np.uint8),
+                           (3 - tir)[::-1]])
+
+
+def _plant(rng, bg, te, starts, tsd=5):
+    for pos in starts:
+        copy = te.copy()
+        muts = rng.random(len(copy)) < 0.01
+        copy[muts] = (copy[muts] + rng.integers(1, 4, muts.sum())) % 4
+        t = rng.integers(0, 4, tsd).astype(np.uint8)
+        bg[pos - tsd : pos] = t
+        bg[pos + len(copy) : pos + len(copy) + tsd] = t
+        bg[pos : pos + len(copy)] = copy
+
+
+@pytest.mark.slow
+def test_pan_pipeline(tmp_path):
+    rng = np.random.default_rng(55)
+    core_te = _tir_te(rng)          # planted in all 3 genomes
+    disp_te = _tir_te(rng)          # planted in 2 genomes
+    priv_te = _tir_te(rng)          # planted in 1 genome
+
+    genomes = {}
+    for gi in range(3):
+        bg = rng.integers(0, 4, 90_000).astype(np.uint8)
+        _plant(rng, bg, core_te, [8_000, 25_000, 41_000, 57_000, 63_000, 80_000])
+        if gi < 2:
+            _plant(rng, bg, disp_te, [15_000, 33_000, 49_000, 70_000, 74_000, 86_000])
+        if gi == 0:
+            _plant(rng, bg, priv_te, [11_500, 29_000, 45_500, 66_500, 77_500, 88_500])
+        genomes[f"g{gi}"] = Genome.from_dict({"chr1": bg})
+
+    cfg = PipelineConfig(align=AlignConfig(fixed_extend_base_threshold=2000))
+    out = str(tmp_path / "pan")
+    res = run_pan_pipeline(genomes, cfg, out_dir=out,
+                           coarse_params=CoarseParams(seg_len=16_384,
+                                                      pair_batch=16))
+    assert len(res.pan_lib) >= 2
+    assert os.path.exists(os.path.join(out, "panTE.fa"))
+    assert os.path.exists(os.path.join(out, "pan_PAV.tsv"))
+
+    classes = set(res.classification.values())
+    assert "core" in classes, res.classification
+    # occupancy sanity: every family present in at least one genome
+    assert all(v >= 1 for v in res.occupancy.values())
+    # PAV matrix matches occupancy
+    assert res.pav.shape == (len(res.pan_lib), 3)
