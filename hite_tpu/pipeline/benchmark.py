@@ -62,3 +62,63 @@ def evaluate_library(
     metrics = dict(TP=tp, FP=fp, FN=fn, sensitivity=sens, precision=prec, F1=f1)
     logger.info("BM_HiTE: %s", metrics)
     return metrics
+
+
+def family_level_metrics(
+    test_lib: Dict[str, np.ndarray],
+    gold_lib: Dict[str, np.ndarray],
+    cfg: PipelineConfig,
+    perfect_cov: float = 0.95,
+    good_cov: float = 0.95,
+    present_cov: float = 0.8,
+) -> Dict[str, int]:
+    """BM_RM2-style family-level counts (RepeatModeler2 protocol,
+    `bin/get_family_summary_paper.sh`, `module/benchmarking.py:44-52`):
+
+    perfect — one test family reciprocally covers >= perfect_cov of a gold
+    family; good — one test family covers >= good_cov of the gold family
+    (one-way); present — the union of test families covers >= present_cov.
+    """
+    from hite_tpu.pipeline.libcluster import _all_pairs_hits
+    from hite_tpu.utils import intervals as iv_mod
+
+    gold_names = list(gold_lib.keys())
+    test_names = list(test_lib.keys())
+    pool = [gold_lib[n] for n in gold_names] + [test_lib[n] for n in test_names]
+    hits = _all_pairs_hits(pool, cfg.align)
+    ng = len(gold_names)
+    lens = np.array([len(s) for s in pool])
+
+    perfect = good = present = 0
+    for g in range(ng):
+        # spans of g covered by mappings of test entries onto g, and
+        # per-test-entry one-way coverage
+        union_spans: List = []
+        best_oneway = 0.0
+        best_recip = 0.0
+        for t in range(ng, len(pool)):
+            t_spans = [(os_, oe) for (j, _a, _b, os_, oe, _n) in hits[t]
+                       if j == g]
+            if not t_spans:
+                continue
+            cov_g = iv_mod.total_length(np.array(t_spans)) / max(lens[g], 1)
+            union_spans.extend(t_spans)
+            best_oneway = max(best_oneway, cov_g)
+            # reciprocal: how much of the test entry maps onto g
+            g_spans = [(os_, oe) for (j, _a, _b, os_, oe, _n) in hits[g]
+                       if j == t]
+            cov_t = (iv_mod.total_length(np.array(g_spans)) / max(lens[t], 1)
+                     if g_spans else 0.0)
+            best_recip = max(best_recip, min(cov_g, cov_t))
+        union_cov = (iv_mod.total_length(np.array(union_spans)) / max(lens[g], 1)
+                     if union_spans else 0.0)
+        if best_recip >= perfect_cov:
+            perfect += 1
+        elif best_oneway >= good_cov:
+            good += 1
+        elif union_cov >= present_cov:
+            present += 1
+    metrics = dict(perfect=perfect, good=good, present=present,
+                   total=ng, missing=ng - perfect - good - present)
+    logger.info("BM_RM2: %s", metrics)
+    return metrics

@@ -1,0 +1,88 @@
+"""Library clustering, nested removal, benchmark metrics, genome clean."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hite_tpu.config import PipelineConfig, AlignConfig
+from hite_tpu.genome import Genome
+from hite_tpu.pipeline.benchmark import evaluate_library, family_level_metrics
+from hite_tpu.pipeline.clean import clean_genome
+from hite_tpu.pipeline.libcluster import cluster_seqs, remove_nested
+
+
+def _rand(rng, n):
+    return rng.integers(0, 4, n).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return PipelineConfig(align=AlignConfig(fixed_extend_base_threshold=2000))
+
+
+def test_cluster_seqs_groups_variants(cfg):
+    rng = np.random.default_rng(0)
+    fam_a = _rand(rng, 800)
+    fam_b = _rand(rng, 600)
+
+    def mutate(s, rate=0.05):
+        c = s.copy()
+        m = rng.random(len(c)) < rate
+        c[m] = rng.integers(0, 4, m.sum())
+        return c
+
+    seqs = [fam_a, mutate(fam_a), mutate(fam_a), fam_b, mutate(fam_b)]
+    labels, reps = cluster_seqs(seqs, cfg.align)
+    assert len(reps) == 2
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4]
+    assert labels[0] != labels[3]
+
+
+def test_remove_nested(cfg):
+    rng = np.random.default_rng(1)
+    inner = _rand(rng, 400)
+    host = np.concatenate([_rand(rng, 600), inner, _rand(rng, 600)])
+    out = remove_nested([host, inner], cfg.align)
+    assert len(out[0]) <= len(host) - 350   # insertion excised
+    assert len(out[1]) == 400               # inner untouched
+
+
+def test_family_level_metrics(cfg):
+    rng = np.random.default_rng(2)
+    gold = {f"g{i}#DNA": _rand(rng, 700) for i in range(3)}
+    test = {
+        "t0#DNA": gold["g0#DNA"].copy(),                  # perfect
+        "t1#DNA": gold["g1#DNA"][:560],                   # present (80%)
+    }
+    m = family_level_metrics(test, gold, cfg)
+    assert m["total"] == 3
+    assert m["perfect"] >= 1
+    assert m["perfect"] + m["good"] + m["present"] >= 2
+    assert m["missing"] >= 1
+
+
+def test_evaluate_library_f1(cfg):
+    rng = np.random.default_rng(3)
+    te = _rand(rng, 500)
+    bg = _rand(rng, 40_000)
+    for pos in (5_000, 15_000, 25_000, 35_000):
+        bg[pos : pos + 500] = te
+    genome = Genome.from_dict({"chr1": bg})
+    gold = {"fam0#DNA": te}
+    m_same = evaluate_library(genome, gold, gold, cfg)
+    assert m_same["F1"] > 0.95
+    m_none = evaluate_library(genome, {"x#DNA": _rand(rng, 500)}, gold, cfg)
+    assert m_none["F1"] < 0.3
+
+
+def test_clean_genome_drops_redundant(cfg):
+    rng = np.random.default_rng(4)
+    big = _rand(rng, 30_000)
+    dup = big[2_000 : 12_000].copy()     # fully contained in big
+    other = _rand(rng, 20_000)
+    genome, name_map = clean_genome(
+        {"c1": big, "c2": dup, "c3": other}, cfg)
+    assert "c2" not in name_map
+    assert len(genome.names) == 2
+    assert genome.names == ["Chr1", "Chr2"]
