@@ -218,6 +218,7 @@ class PipelineConfig:
     is_output_ltr_lib: bool = True
     coverage_threshold: float = 0.95     # benchmark coverage
     debug: bool = False
+    recover: bool = False                # resume from stage checkpoints
     seed: int = 0
 
     align: AlignConfig = field(default_factory=AlignConfig)

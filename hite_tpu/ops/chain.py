@@ -39,55 +39,64 @@ def chain_hsps(
     extend_threshold: int,
     max_chains: int = 512,
     min_len: int = 80,
+    group: jnp.ndarray | None = None,
 ) -> Chains:
     """Greedy-merge sorted HSPs into chains (one subject, one strand).
 
     extend_threshold: max tolerated gap on query AND subject between
     consecutive chained HSPs (reference's fixed_extend_base_threshold,
     adaptive 2000-4000 bp, `Util.py:14641-14654`).
+
+    group: optional int32 [M] subject-group id per HSP (e.g. the library
+    entry an HSP lands in when the subject is a concatenated multi-sequence
+    index) — HSPs are sorted by (group, qs) and never chain across groups.
     """
     n = hsps.qs.shape[-1]
-    key = jnp.where(hsps.valid, hsps.qs, INT32_MAX)
-    order = jnp.argsort(key)
-    qs, qe, ss, se = (a[order] for a in (hsps.qs, hsps.qe, hsps.ss, hsps.se))
-    nseeds = hsps.nseeds[order]
-    valid = hsps.valid[order]
+    g = group if group is not None else jnp.zeros_like(hsps.qs)
+    g = jnp.where(hsps.valid, g, INT32_MAX)
+    qkey = jnp.where(hsps.valid, hsps.qs, INT32_MAX)
+    g, qs, qe, ss, se, nseeds, valid_i = jax.lax.sort(
+        (g, qkey, hsps.qe, hsps.ss, hsps.se, hsps.nseeds,
+         hsps.valid.astype(jnp.int32)),
+        num_keys=2,
+    )
+    valid = valid_i.astype(jnp.bool_)
 
     T = jnp.int32(extend_threshold)
 
     def step(carry, x):
-        cqs, cqe, css, cse, cn, active = carry
-        xqs, xqe, xss, xse, xn, xvalid = x
+        cqs, cqe, css, cse, cn, cg, active = carry
+        xqs, xqe, xss, xse, xn, xg, xvalid = x
         q_ok = (xqs - cqe) <= T
         # subject-side tolerance: next HSP's subject span must sit within
         # threshold of the chain's subject extent and not jump backwards
         # past tolerance (co-linear up to T, mirroring FMEA's two-sided gap).
         s_ok = (jnp.abs(xss - cse) <= T) & (xse >= css)
-        mergeable = active & xvalid & q_ok & s_ok
+        mergeable = active & xvalid & q_ok & s_ok & (xg == cg)
         # Emit the closed chain when we can't merge and a chain is active.
         emit = active & xvalid & ~mergeable
         emitted = (cqs, cqe, css, cse, cn, emit)
         new_carry = jax.tree.map(
             lambda cur, new: jnp.where(mergeable, cur, new),
             (cqs, jnp.maximum(cqe, xqe), jnp.minimum(css, xss),
-             jnp.maximum(cse, xse), cn + xn, active),
-            (xqs, xqe, xss, xse, xn, xvalid | active),
+             jnp.maximum(cse, xse), cn + xn, cg, active),
+            (xqs, xqe, xss, xse, xn, xg, xvalid | active),
         )
         # If x is invalid, keep the carry untouched.
         new_carry = jax.tree.map(
             lambda new, cur: jnp.where(xvalid, new, cur),
             new_carry,
-            (cqs, cqe, css, cse, cn, active),
+            (cqs, cqe, css, cse, cn, cg, active),
         )
         return new_carry, emitted
 
     init = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-            jnp.int32(0), jnp.bool_(False))
-    carry, emitted = jax.lax.scan(step, init, (qs, qe, ss, se, nseeds, valid))
+            jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+    carry, emitted = jax.lax.scan(step, init, (qs, qe, ss, se, nseeds, g, valid))
 
     e_qs, e_qe, e_ss, e_se, e_n, e_valid = emitted
     # Append the final open chain.
-    f_qs, f_qe, f_ss, f_se, f_n, f_active = carry
+    f_qs, f_qe, f_ss, f_se, f_n, _f_g, f_active = carry
     e_qs = jnp.concatenate([e_qs, f_qs[None]])
     e_qe = jnp.concatenate([e_qe, f_qe[None]])
     e_ss = jnp.concatenate([e_ss, f_ss[None]])

@@ -27,6 +27,23 @@ from hite_tpu.ops.kmer import INVALID_CODE, KmerIndex, lookup
 INT32_MAX = jnp.int32(2**31 - 1)
 
 
+def _segment_fill(values: jnp.ndarray, brk: jnp.ndarray) -> jnp.ndarray:
+    """Per-row forward fill of `values` from positions where brk is True.
+
+    Equivalent to values[run_start[i]] without the gather: an associative
+    scan whose combine keeps the rightmost marked value.
+    """
+
+    def combine(a, b):
+        v_a, s_a = a
+        v_b, s_b = b
+        return jnp.where(s_b, v_b, v_a), s_a | s_b
+
+    filled, _ = jax.lax.associative_scan(
+        combine, (jnp.where(brk, values, 0), brk), axis=1)
+    return filled
+
+
 class HSPs(NamedTuple):
     """A static-size batch of HSPs (half-open, segment-local coordinates).
 
@@ -56,12 +73,18 @@ def pair_hsps(
     min_hsp_len: int = 30,
     max_hsps: int = 2048,
     exclude_self: jnp.ndarray | bool = False,
+    tile_entries: int = 32_768,
 ) -> HSPs:
     """Extract HSPs between a query segment and an indexed subject segment.
 
     q_kmers:    int32 [Qk] rolling k-mer codes of the query (-1 = invalid).
     subj_index: sorted KmerIndex of the subject (forward or revcomp).
     exclude_self: scalar bool — drop qpos == spos seed matches (self pair).
+
+    Seed entries are sorted per query TILE (tile_entries seed slots each):
+    many small batched sorts vectorize far better on TPU than one global
+    sort, and runs split at a tile edge are re-joined downstream by FMEA
+    chaining (gap tolerance >> tile span).
     """
     Qk = q_kmers.shape[-1]
     qpos = jax.lax.broadcasted_iota(jnp.int32, (Qk // stride, 1), 0).squeeze(-1) * stride
@@ -76,30 +99,45 @@ def pair_hsps(
     diag = qpos_b - spos
     dbin = (diag + n_subj) // diag_band
 
-    # Sort all seed entries by (diagonal band, query position).
-    flat_dbin = jnp.where(valid, dbin, INT32_MAX).reshape(-1)
-    flat_qpos = jnp.where(valid, qpos_b, INT32_MAX).reshape(-1)
-    flat_spos = spos.reshape(-1)
-    flat_valid = valid.reshape(-1).astype(jnp.int32)
+    # Tile the (query-major) seed list and sort each tile independently by
+    # (diagonal band, query position).
+    n_total = spos.shape[0] * spos.shape[1]
+    T = min(tile_entries, n_total)
+    n_tiles = (n_total + T - 1) // T
+    pad = n_tiles * T - n_total
+
+    def tiled(a, fill):
+        flat = a.reshape(-1)
+        if pad:
+            flat = jnp.concatenate([flat, jnp.full((pad,), fill, flat.dtype)])
+        return flat.reshape(n_tiles, T)
+
+    t_dbin = tiled(jnp.where(valid, dbin, INT32_MAX), INT32_MAX)
+    t_qpos = tiled(jnp.where(valid, qpos_b, INT32_MAX), INT32_MAX)
+    t_spos = tiled(spos, 0)
+    t_valid = tiled(valid.astype(jnp.int32), 0)
     s_dbin, s_qpos, s_spos, s_valid = jax.lax.sort(
-        (flat_dbin, flat_qpos, flat_spos, flat_valid), num_keys=2
+        (t_dbin, t_qpos, t_spos, t_valid), dimension=1, num_keys=2
     )
-    n = s_dbin.shape[0]
     s_valid = s_valid.astype(jnp.bool_)
 
-    # Run segmentation: a new run starts on diagonal-band change or a qpos
-    # gap larger than run_gap.
-    prev_dbin = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_dbin[:-1]])
-    prev_qpos = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_qpos[:-1]])
+    # Run segmentation within each tile: a new run starts on diagonal-band
+    # change or a qpos gap larger than run_gap.
+    neg1 = jnp.full((n_tiles, 1), -1, jnp.int32)
+    prev_dbin = jnp.concatenate([neg1, s_dbin[:, :-1]], axis=1)
+    prev_qpos = jnp.concatenate([neg1, s_qpos[:, :-1]], axis=1)
     brk = (s_dbin != prev_dbin) | (s_qpos - prev_qpos > run_gap)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    run_start = jax.lax.cummax(jnp.where(brk, idx, -1))
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, T), 1)
+    run_start = jax.lax.cummax(jnp.where(brk, idx, -1), axis=1)
 
-    nxt_brk = jnp.concatenate([brk[1:], jnp.ones((1,), jnp.bool_)])
+    nxt_brk = jnp.concatenate(
+        [brk[:, 1:], jnp.ones((n_tiles, 1), jnp.bool_)], axis=1)
     is_end = s_valid & nxt_brk
 
-    start_q = s_qpos[jnp.clip(run_start, 0, n - 1)]
-    start_s = s_spos[jnp.clip(run_start, 0, n - 1)]
+    # run-start values via segmented forward fill (associative scan) — much
+    # cheaper on TPU than a 2D take_along_axis gather
+    start_q = _segment_fill(s_qpos, brk)
+    start_s = _segment_fill(s_spos, brk)
     nseeds = idx - run_start + 1
     qs, qe = start_q, s_qpos + k
     # Within a run (same diagonal band, qpos ascending) spos ascends too,
@@ -108,12 +146,35 @@ def pair_hsps(
     se = jnp.maximum(start_s, s_spos) + k
 
     good = is_end & (nseeds >= min_seeds) & (qe - qs >= min_hsp_len)
-    (sel,) = jnp.nonzero(good, size=max_hsps, fill_value=n - 1)
-    count = jnp.sum(good)
+
+    # two-stage compaction: per-tile nonzero over T slots (cheap, vmapped),
+    # then a global nonzero over n_tiles * per_tile survivors
+    per_tile = max(32, max_hsps // max(n_tiles, 1))
+    per_tile = min(per_tile, 256)
+
+    def tile_compact(g):
+        (s,) = jnp.nonzero(g, size=per_tile, fill_value=T - 1)
+        cnt = jnp.sum(g)
+        v = jax.lax.broadcasted_iota(jnp.int32, (per_tile, 1), 0).squeeze(-1) < cnt
+        return s, v
+
+    sel_t, valid_t = jax.vmap(tile_compact)(good)        # [n_tiles, per_tile]
+
+    def take_t(a):
+        return jnp.take_along_axis(a, sel_t, axis=1)
+
+    qs2, qe2 = take_t(qs), take_t(qe)
+    ss2, se2 = take_t(ss), take_t(se)
+    ns2 = take_t(nseeds)
+
+    gf = valid_t.reshape(-1)
+    n2 = gf.shape[0]
+    (sel,) = jnp.nonzero(gf, size=max_hsps, fill_value=n2 - 1)
+    count = jnp.sum(gf)
     out_valid = jax.lax.broadcasted_iota(jnp.int32, (max_hsps, 1), 0).squeeze(-1) < count
-    take = lambda a: jnp.where(out_valid, a[sel], 0)
-    return HSPs(qs=take(qs), qe=take(qe), ss=take(ss), se=take(se),
-                nseeds=take(nseeds), valid=out_valid)
+    take = lambda a: jnp.where(out_valid, a.reshape(-1)[sel], 0)
+    return HSPs(qs=take(qs2), qe=take(qe2), ss=take(ss2), se=take(se2),
+                nseeds=take(ns2), valid=out_valid)
 
 
 def rc_to_forward(ss: jnp.ndarray, se: jnp.ndarray, subj_len: int):

@@ -124,22 +124,24 @@ def _chains_to_intervals(
         qe = np.asarray(chains.qe)
         ss = np.asarray(chains.ss)
         se = np.asarray(chains.se)
-        valid = np.asarray(chains.valid)
-        for b in range(len(pairs)):
-            v = valid[b]
-            if not v.any():
-                continue
-            qoff = pairs[b, 0] * seg_len
-            soff = pairs[b, 1] * seg_len
-            q_iv = np.stack([qs[b][v] + qoff, qe[b][v] + qoff], axis=1)
-            s0, s1 = ss[b][v], se[b][v]
-            if is_rc:
-                # index was built on revcomp(segment): n_kmer_pos positions;
-                # spans cover [p, p+k) so the base-coordinate length is seg_len
-                s0, s1 = seg_len - se[b][v], seg_len - ss[b][v]
-            s_iv = np.stack([s0 + soff, s1 + soff], axis=1)
-            out.append(q_iv)
-            out.append(s_iv)
+        valid = np.asarray(chains.valid)        # [B, C]
+        if not valid.any():
+            continue
+        qoff = (pairs[:, 0] * seg_len)[:, None]
+        soff = (pairs[:, 1] * seg_len)[:, None]
+        if is_rc:
+            # index was built on revcomp(segment): spans cover [p, p+k) so
+            # the base-coordinate length is seg_len
+            s0, s1 = seg_len - se, seg_len - ss
+        else:
+            s0, s1 = ss, se
+        b_idx, c_idx = np.nonzero(valid)
+        q_iv = np.stack([(qs + qoff)[b_idx, c_idx],
+                         (qe + qoff)[b_idx, c_idx]], axis=1)
+        s_iv = np.stack([(s0 + soff)[b_idx, c_idx],
+                         (s1 + soff)[b_idx, c_idx]], axis=1)
+        out.append(q_iv)
+        out.append(s_iv)
     if not out:
         return np.zeros((0, 2), dtype=np.int64)
     return np.concatenate(out).astype(np.int64)

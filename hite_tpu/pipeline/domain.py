@@ -124,14 +124,18 @@ class DomainScanner:
         confirm_a: List[np.ndarray] = []
         confirm_b: List[np.ndarray] = []
         confirm_meta: List[Tuple] = []
+        starts_d = jnp.asarray(self.starts)
         for f in range(6):
             q_km = aa_kmer_codes(frames[:, f], self.k)   # [B, A]
             for b in range(len(cand_seqs)):
                 h = pair_hsps(q_km[b], self.index, k=self.k, stride=1,
                               max_hits=8, diag_band=16, run_gap=24,
                               min_seeds=2, min_hsp_len=8, max_hsps=128)
+                # group HSPs by the library entry they land in so chains
+                # never bridge two concatenated proteins
+                grp = jnp.searchsorted(starts_d, h.ss, side="right").astype(jnp.int32)
                 ch = chain_hsps(h, extend_threshold=60, max_chains=32,
-                                min_len=min_aa_len)
+                                min_len=min_aa_len, group=grp)
                 qs = np.asarray(ch.qs)
                 qe = np.asarray(ch.qe)
                 ss = np.asarray(ch.ss)

@@ -38,6 +38,54 @@ from hite_tpu.pipeline.verify import ModuleResult
 from hite_tpu.utils.log import STAGE_TIMES, logger, stage_timer
 
 
+DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data")
+
+
+def _rescue_low_copy(genome: Genome, cfg: PipelineConfig, *, tir=None,
+                     helitron=None, non_ltr=None) -> int:
+    """Domain-based low-copy rescue: move low-copy candidates carrying a
+    near-intact TE protein domain into the accepted set of their module."""
+    from hite_tpu.pipeline.domain import DomainScanner, rescue_by_domain
+
+    lib_for = {
+        "tir": os.path.join(DATA_DIR, "protein", "TIRPeps.lib"),
+        "helitron": os.path.join(DATA_DIR, "protein", "HelitronPeps.lib"),
+        "non_ltr": os.path.join(DATA_DIR, "protein", "TIRPeps.lib"),
+    }
+    rescued_total = 0
+    for key, mod in (("tir", tir), ("helitron", helitron),
+                     ("non_ltr", non_ltr)):
+        if mod is None or len(mod.low_copy) == 0:
+            continue
+        path = lib_for[key]
+        if not os.path.exists(path):
+            continue
+        scanner = DomainScanner.from_fasta(path)
+        seqs = [genome.extract(int(s), int(e))
+                for s, e in mod.low_copy.intervals]
+        mask = rescue_by_domain(seqs, scanner)
+        if not mask.any():
+            continue
+        kept = mod.low_copy.intervals[mask]
+        mod.accepted = CandidateSetJoin(mod.accepted, kept)
+        for s, e in kept:
+            mod.consensus.append(genome.extract(int(s), int(e)))
+            mod.copy_counts.append(1)
+        mod.low_copy = mod.low_copy.subset(~mask)
+        rescued_total += int(mask.sum())
+        logger.info("%s: rescued %d low-copy candidates by protein domain",
+                    key, int(mask.sum()))
+    return rescued_total
+
+
+def CandidateSetJoin(a, extra_intervals: np.ndarray):
+    from hite_tpu.pipeline.candidates import CandidateSet
+
+    iv = np.concatenate([a.intervals,
+                         np.asarray(extra_intervals).reshape(-1, 2)])
+    return CandidateSet(intervals=iv)
+
+
 @dataclass
 class RunResult:
     libs: Dict[str, Dict[str, np.ndarray]]
@@ -54,32 +102,48 @@ def run_pipeline(
     out_dir: Optional[str] = None,
     coarse_params: Optional[CoarseParams] = None,
 ) -> RunResult:
+    from hite_tpu.pipeline.checkpoint import Checkpointer
+
     cfg = cfg.with_genome_size(genome.size)
     params = coarse_params or CoarseParams()
     want = (lambda t: cfg.te_type in ("all", t))
+    ckpt = Checkpointer(out_dir, cfg, enabled=cfg.recover)
 
     # stage 0: curated-library homology (masks strong hits first, like the
     # reference's --curated_lib pre-mask + judge_Other stage)
-    other = run_other_detection(genome, cfg, cfg.curated_lib)
+    other = ckpt.run("other",
+                     lambda: run_other_detection(genome, cfg, cfg.curated_lib))
 
     # stage 1: coarse de-novo discovery on the (masked) genome
     genome.init_mask()
     with stage_timer("pipeline.coarse"):
-        coarse = coarse_discover(genome, cfg.align, params)
+        coarse = ckpt.run("coarse",
+                          lambda: coarse_discover(genome, cfg.align, params))
 
     gindex = GenomeIndex(genome, cfg.align, seg_len=params.seg_len)
 
     tir = helitron = non_ltr = None
     found_intervals = []
     if want("tir"):
-        tir = run_tir_detection(genome, coarse, cfg, gindex)
+        tir = ckpt.run("tir",
+                       lambda: run_tir_detection(genome, coarse, cfg, gindex))
         found_intervals.append(tir.accepted.intervals)
     if want("helitron"):
-        helitron = run_helitron_detection(genome, coarse, cfg, gindex)
+        helitron = ckpt.run(
+            "helitron",
+            lambda: run_helitron_detection(genome, coarse, cfg, gindex))
         found_intervals.append(helitron.accepted.intervals)
     if want("non-ltr") and cfg.is_denovo_nonltr:
-        non_ltr = run_non_ltr_detection(genome, coarse, cfg, gindex)
+        non_ltr = ckpt.run(
+            "non_ltr",
+            lambda: run_non_ltr_detection(genome, coarse, cfg, gindex))
         found_intervals.append(non_ltr.accepted.intervals)
+
+    # stage 2b: low-copy structural/domain rescue — candidates with too few
+    # copies survive when they carry a >=95%-intact TE protein domain
+    # (reference flank_region_align_v5 rescue branch, Util.py:8215-8281)
+    _rescue_low_copy(genome, cfg,
+                     tir=tir, helitron=helitron, non_ltr=non_ltr)
 
     # stage 3: LTR on the genome masked with everything found so far
     # (reference judge_LTR_transposons.py:111)
@@ -89,15 +153,15 @@ def run_pipeline(
             (int(s), int(e))
             for arr in found_intervals for s, e in arr)
         logger.info("pipeline: masked %d bp before LTR stage", masked_bp)
-        ltr = run_ltr_detection(genome, cfg, gindex,
-                                seg_len=params.seg_len)
+        ltr = ckpt.run("ltr", lambda: run_ltr_detection(
+            genome, cfg, gindex, seg_len=params.seg_len))
 
     # stage 4: library assembly
     curated = read_fasta(cfg.curated_lib) if (
         cfg.curated_lib and os.path.exists(cfg.curated_lib)) else None
-    libs = build_library(genome, cfg, tir=tir, helitron=helitron,
-                         non_ltr=non_ltr, ltr=ltr, other=other,
-                         curated=curated)
+    libs = ckpt.run("library", lambda: build_library(
+        genome, cfg, tir=tir, helitron=helitron,
+        non_ltr=non_ltr, ltr=ltr, other=other, curated=curated))
 
     result = RunResult(libs=libs, tir=tir, helitron=helitron,
                        non_ltr=non_ltr, ltr=ltr)
@@ -181,6 +245,7 @@ def main(argv=None) -> None:
     p.add_argument("--miu", type=float, default=1.3e-8)
     p.add_argument("--curated_lib", default=None)
     p.add_argument("--annotate", type=int, default=0)
+    p.add_argument("--recover", type=int, default=0)
     p.add_argument("--remove_nested", type=int, default=1)
     p.add_argument("--is_denovo_nonltr", type=int, default=1)
     p.add_argument("--min_TE_len", type=int, default=80)
@@ -194,6 +259,7 @@ def main(argv=None) -> None:
         plant=bool(args.plant), curated_lib=args.curated_lib,
         annotate=bool(args.annotate), remove_nested=bool(args.remove_nested),
         is_denovo_nonltr=bool(args.is_denovo_nonltr),
+        recover=bool(args.recover),
     )
     cfg = cfg.replace(
         ltr=dataclasses.replace(cfg.ltr, miu=args.miu),
