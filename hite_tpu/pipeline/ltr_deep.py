@@ -1,0 +1,194 @@
+"""Deep LTR filtering: both-ends frame matrices + CNN judgement.
+
+Re-implements FiLTR's high-copy LTR judgement path (SURVEY.md §3.4,
+`bin/FiLTR-main/src/LTR_filter.py:27-209`): for each intact-LTR candidate,
+full-length copies are fetched and their +-100bp boundary frames rendered
+as an MSA matrix; the rule judge demands that flank homology BREAK at the
+element boundaries (`judge_ltr_from_both_ends_frame`, src/Util.py:10477);
+the dual-branch CNN (`models.ltr_filter.LTRFilterCNN`) scores the frame
+image + k-mer channels; and merge semantics follow the reference: a rule
+verdict of False VETOES a CNN verdict of True
+(`alter_deep_learning_results`, src/Util.py:10711-10757).
+
+The CNN runs only when trained parameters are supplied (the reference
+ships production_model.pth; here training data is generated from
+rule-confident positives/negatives — `make_training_frames`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hite_tpu.config import PipelineConfig
+from hite_tpu.genome import Genome
+from hite_tpu.models.features import frame_image, kmer_frequencies
+from hite_tpu.models.ltr_filter import LTRFilterCNN, kmer_channels
+from hite_tpu.ops.boundary import adaptive_threshold, column_stats, search_boundary
+from hite_tpu.ops.msa import project_to_center
+from hite_tpu.pipeline.candidates import bucket_for, pad_rows, pad_seqs
+from hite_tpu.pipeline.copies import CopyFinder, GenomeIndex
+from hite_tpu.pipeline.ltr import LTRRecord
+from hite_tpu.utils.log import logger, stage_timer
+
+FRAME_FLANK = 100   # FiLTR both-ends frame width (.matrix files)
+FRAME_CORE = 100    # bp of element interior kept on each side
+
+
+def both_ends_frame(
+    genome: Genome,
+    rec: LTRRecord,
+    copies,
+    max_rows: int = 100,
+) -> Optional[np.ndarray]:
+    """[R, 2*(FLANK+CORE)] matrix of left|right boundary frames per copy.
+
+    Equivalent of the reference's `.matrix` files
+    (`get_both_ends_frame`, FiLTR src/Util.py:1401-1497): for every
+    full-length copy, 100bp of outside flank + 100bp of element on each
+    boundary, aligned via projection onto the candidate's own frame.
+    """
+    width = FRAME_FLANK + FRAME_CORE
+    center_l = genome.extract(rec.start, rec.start + FRAME_CORE, FRAME_FLANK)
+    center_r = genome.extract(rec.end - FRAME_CORE, rec.end, FRAME_FLANK)
+    if len(center_l) < width or len(center_r) < width:
+        return None
+    center = np.concatenate([center_l[: width], center_r[-width:]])
+
+    rows = []
+    from hite_tpu.io.fasta import revcomp as np_revcomp
+    for h in copies[:max_rows]:
+        seq_l = genome.extract(h.start, h.start + FRAME_CORE, FRAME_FLANK)
+        seq_r = genome.extract(h.end - FRAME_CORE, h.end, FRAME_FLANK)
+        if h.strand == 1:
+            seq_l, seq_r = np_revcomp(seq_r), np_revcomp(seq_l)
+        if len(seq_l) < width or len(seq_r) < width:
+            continue
+        rows.append(np.concatenate([seq_l[: width], seq_r[-width:]]))
+    if len(rows) < 1:
+        return None
+    mat, lens = pad_seqs(rows, 2 * width, n_rows=pad_rows(len(rows)))
+    M = project_to_center(jnp.asarray(center.astype(np.uint8)),
+                          jnp.asarray(mat), jnp.asarray(lens))
+    return np.asarray(M)
+
+
+def rule_judge_frame(M: np.ndarray) -> bool:
+    """True when flank homology breaks at both boundaries.
+
+    `judge_ltr_from_both_ends_frame` -> `judge_both_ends_frame`
+    (src/Util.py:10477/10696): a real LTR element's copies come from
+    different loci, so columns OUTSIDE the element must not be homologous,
+    while columns inside are.
+    """
+    R = M.shape[0]
+    present = int((M < 4).any(1).sum())
+    thr = float(adaptive_threshold(jnp.int32(present)))
+    stats = column_stats(jnp.asarray(M), thr)
+    left = search_boundary(stats.homo, jnp.int32(FRAME_FLANK), side="left",
+                           radius=30)
+    width = FRAME_FLANK + FRAME_CORE
+    right = search_boundary(stats.homo, jnp.int32(2 * width - FRAME_FLANK),
+                            side="right", radius=30)
+    return bool(left.found) and bool(right.found)
+
+
+def cnn_inputs(M: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(image [100, L, 3], kmer channels [16, 16, 2]) from a frame matrix."""
+    img = np.asarray(frame_image(jnp.asarray(M), n_rows=100))
+    # k-mer channels from the consensus row content
+    flat = M[M < 4]
+    if len(flat) < 32:
+        flat = np.zeros(64, np.uint8)
+    seq = jnp.asarray(flat[None, :])
+    lens = jnp.asarray([flat.shape[0]])
+    f3 = kmer_frequencies(seq, lens, 3)
+    f4 = kmer_frequencies(seq, lens, 4)
+    km = np.asarray(kmer_channels(f3, f4))[0]
+    return img, km
+
+
+def deep_filter_records(
+    genome: Genome,
+    records: Sequence[LTRRecord],
+    cfg: PipelineConfig,
+    gindex: Optional[GenomeIndex] = None,
+    cnn_params=None,
+    low_copy_threshold: int = 5,
+) -> List[LTRRecord]:
+    """Filter intact-LTR records with the frame rule (+ CNN when trained).
+
+    Merge semantics (alter_deep_learning_results): rule False vetoes;
+    CNN only confirms among rule-True candidates; low-copy (<threshold)
+    candidates are judged by the rule alone, like the reference.
+    """
+    gindex = gindex or GenomeIndex(genome, cfg.align)
+    finder = CopyFinder(gindex)
+    model = LTRFilterCNN() if cnn_params is not None else None
+
+    kept: List[LTRRecord] = []
+    with stage_timer("ltr.deep_filter"):
+        copy_sets = finder.find_copies(
+            [genome.extract(r.start, r.end) for r in records],
+            min_coverage=0.8, max_copies=cfg.msa.max_copies)
+        for rec, copies in zip(records, copy_sets):
+            M = both_ends_frame(genome, rec, copies)
+            if M is None:
+                kept.append(rec)            # not enough context to judge
+                continue
+            rule_ok = rule_judge_frame(M)
+            if not rule_ok:
+                continue                    # rule verdict vetoes
+            if model is not None and len(copies) > low_copy_threshold:
+                img, km = cnn_inputs(M)
+                logits = model.apply(cnn_params, jnp.asarray(img[None]),
+                                     jnp.asarray(km[None]))
+                prob = float(jax.nn.softmax(logits)[0, 1])
+                if prob < cfg.ltr.deep_threshold:
+                    continue
+            rec.copy_count = max(rec.copy_count, len(copies))
+            kept.append(rec)
+    logger.info("ltr.deep_filter: %d/%d records kept", len(kept), len(records))
+    return kept
+
+
+def make_training_frames(
+    genome: Genome,
+    positives: Sequence[LTRRecord],
+    negatives: Sequence[Tuple[int, int]],
+    cfg: PipelineConfig,
+    gindex: Optional[GenomeIndex] = None,
+):
+    """Training data for the CNN: frame inputs + labels (1 = real LTR).
+
+    The reference's Reproduction/ scripts regenerate positive/negative
+    samples from curated vs rejected candidates the same way.
+    """
+    gindex = gindex or GenomeIndex(genome, cfg.align)
+    finder = CopyFinder(gindex)
+    imgs, kms, labels = [], [], []
+    for label, items in ((1, [(r.start, r.end) for r in positives]),
+                         (0, list(negatives))):
+        if not items:
+            continue
+        copy_sets = finder.find_copies(
+            [genome.extract(int(s), int(e)) for s, e in items],
+            min_coverage=0.8, max_copies=cfg.msa.max_copies)
+        for (s, e), copies in zip(items, copy_sets):
+            rec = LTRRecord(start=int(s), end=int(e), lltr_start=int(s),
+                            lltr_end=int(s), rltr_start=int(e),
+                            rltr_end=int(e), identity=1.0, insert_time=0.0)
+            M = both_ends_frame(genome, rec, copies)
+            if M is None:
+                continue
+            img, km = cnn_inputs(M)
+            imgs.append(img)
+            kms.append(km)
+            labels.append(label)
+    if not imgs:
+        return (np.zeros((0, 100, 2 * (FRAME_FLANK + FRAME_CORE), 3)),
+                np.zeros((0, 16, 16, 2)), np.zeros(0, np.int32))
+    return np.stack(imgs), np.stack(kms), np.array(labels, np.int32)

@@ -125,14 +125,17 @@ def run_pan_pipeline(
                         rescued += 1
     logger.info("pan: rescued %d low-copy families across genomes", rescued)
 
-    # stage 4: occupancy + PAV via full-length copies per genome
+    # stage 4: occupancy + PAV via full-length copies per genome (coverage
+    # slightly below the strict full-length bound so small boundary
+    # differences between per-genome consensi don't hide true presence)
     fam_names = list(pan_lib.keys())
     pav = np.zeros((len(fam_names), len(genomes)), np.int32)
+    occ_cov = max(0.8, cfg.library.full_length_cov - 0.1)
     with stage_timer("pan.occupancy"):
         for gj, (gname, g) in enumerate(genomes.items()):
             counts = finders[gname].find_copies(
                 [pan_lib[f] for f in fam_names],
-                min_coverage=cfg.library.full_length_cov,
+                min_coverage=occ_cov,
                 max_copies=cfg.msa.max_copies)
             for fi, hits in enumerate(counts):
                 pav[fi, gj] = len(hits)

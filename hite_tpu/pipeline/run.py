@@ -153,8 +153,20 @@ def run_pipeline(
             (int(s), int(e))
             for arr in found_intervals for s, e in arr)
         logger.info("pipeline: masked %d bp before LTR stage", masked_bp)
-        ltr = ckpt.run("ltr", lambda: run_ltr_detection(
-            genome, cfg, gindex, seg_len=params.seg_len))
+
+        def _ltr_stage():
+            from hite_tpu.pipeline.ltr import LTRResult
+            from hite_tpu.pipeline.ltr_deep import deep_filter_records
+
+            res = run_ltr_detection(genome, cfg, gindex,
+                                    seg_len=params.seg_len)
+            # FiLTR frame judgement: flank homology must break at the
+            # element boundaries (rule verdict vetoes; CNN optional)
+            res = LTRResult(records=deep_filter_records(
+                genome, res.records, cfg, gindex))
+            return res
+
+        ltr = ckpt.run("ltr", _ltr_stage)
 
     # stage 4: library assembly
     curated = read_fasta(cfg.curated_lib) if (
