@@ -59,11 +59,9 @@ class AdjustResult:
     consensus: Optional[np.ndarray] = None
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "int_window", "ext_window"))
-def _analyze(center, copies_mat, lens, anchor_l, anchor_r, *,
-             radius=50, int_window=20, ext_window=10):
+def _analyze_core(center, copies_mat, lens, anchor_l, anchor_r, *,
+                  radius=50, int_window=20, ext_window=10):
     M = project_to_center(center, copies_mat, lens)
-    R = copies_mat.shape[0]
     thr = adaptive_threshold(jnp.sum(lens > 0))
     stats = column_stats(M, thr)
     left = search_boundary(stats.homo, anchor_l, side="left", radius=radius,
@@ -74,17 +72,31 @@ def _analyze(center, copies_mat, lens, anchor_l, anchor_r, *,
     return M, stats.homo, cons, left, right
 
 
-def analyze_family(
+_analyze = functools.partial(
+    jax.jit, static_argnames=("radius", "int_window", "ext_window")
+)(_analyze_core)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "int_window", "ext_window"))
+def _analyze_batch(centers, copies_mats, lens, anchors_l, anchors_r, *,
+                   radius=50, int_window=20, ext_window=10):
+    """vmapped family analysis: centers [F, W], copies [F, R, W], ..."""
+    fn = functools.partial(_analyze_core, radius=radius,
+                           int_window=int_window, ext_window=ext_window)
+    return jax.vmap(fn)(centers, copies_mats, lens, anchors_l, anchors_r)
+
+
+def _prep_family(
     genome: Genome,
     interval: Tuple[int, int],
     copies: Sequence[CopyHit],
     cfg: MSAConfig,
-) -> Tuple[FamilyAnalysis, int]:
-    """Build + analyze the family matrix; returns (analysis, center_start)."""
+):
+    """Host-side family prep: (c_pad, mat, lens, anchor_l, anchor_r,
+    center_start, width, R_bucket)."""
     s, e = int(interval[0]), int(interval[1])
     flank = cfg.frame_flank
     center = genome.extract(s, e, flank)
-    center_start = max(s - flank, s - (len(center) - (e - s)))
     # actual left flank obtained after contig clipping:
     ci, local = genome.contig_of(np.array([s]))
     c_start = int(genome.starts[int(ci[0])])
@@ -99,14 +111,21 @@ def analyze_family(
                  for cs, h in zip(copy_seqs, copies)]
     R_bucket = max(4, 1 << (len(copy_seqs) - 1).bit_length()) if copy_seqs else 4
     width = bucket_for(len(center))
-    mat, lens = pad_seqs(copy_seqs, width)
-    if len(mat) < R_bucket:
-        pad = np.full((R_bucket - len(mat), width), 4, np.uint8)
-        mat = np.concatenate([mat, pad])
-        lens = np.concatenate([lens, np.zeros(R_bucket - len(lens), np.int32)])
+    mat, lens = pad_seqs(copy_seqs, width, n_rows=R_bucket)
     c_pad = np.full(width, 4, np.uint8)
     c_pad[: len(center)] = center
+    return c_pad, mat, lens, anchor_l, anchor_r, center_start, width, R_bucket
 
+
+def analyze_family(
+    genome: Genome,
+    interval: Tuple[int, int],
+    copies: Sequence[CopyHit],
+    cfg: MSAConfig,
+) -> Tuple[FamilyAnalysis, int]:
+    """Build + analyze the family matrix; returns (analysis, center_start)."""
+    c_pad, mat, lens, anchor_l, anchor_r, center_start, _w, _r = _prep_family(
+        genome, interval, copies, cfg)
     M, homo, cons, left, right = _analyze(
         jnp.asarray(c_pad), jnp.asarray(mat), jnp.asarray(lens),
         jnp.int32(anchor_l), jnp.int32(anchor_r))
@@ -116,6 +135,42 @@ def analyze_family(
         right_found=bool(right.found), right_pos=int(right.pos),
     )
     return fa, center_start
+
+
+def analyze_families_batched(
+    genome: Genome,
+    items: Sequence[Tuple[Tuple[int, int], Sequence[CopyHit]]],
+    cfg: MSAConfig,
+) -> List[Tuple[FamilyAnalysis, int]]:
+    """Bucketed batched analysis of many families in few device calls."""
+    preps = [_prep_family(genome, iv, cp, cfg) for iv, cp in items]
+    out: List[Optional[Tuple[FamilyAnalysis, int]]] = [None] * len(items)
+    buckets: dict = {}
+    for i, p in enumerate(preps):
+        buckets.setdefault((p[7], p[6]), []).append(i)   # (R_bucket, width)
+    for (rb, width), idxs in buckets.items():
+        centers = np.stack([preps[i][0] for i in idxs])
+        mats = np.stack([preps[i][1] for i in idxs])
+        lens = np.stack([preps[i][2] for i in idxs])
+        al = np.array([preps[i][3] for i in idxs], np.int32)
+        ar = np.array([preps[i][4] for i in idxs], np.int32)
+        M, homo, cons, left, right = _analyze_batch(
+            jnp.asarray(centers), jnp.asarray(mats), jnp.asarray(lens),
+            jnp.asarray(al), jnp.asarray(ar))
+        M = np.asarray(M)
+        homo = np.asarray(homo)
+        cons = np.asarray(cons)
+        lf = np.asarray(left.found)
+        lp = np.asarray(left.pos)
+        rf = np.asarray(right.found)
+        rp = np.asarray(right.pos)
+        for b, i in enumerate(idxs):
+            fa = FamilyAnalysis(
+                M=M[b], homo=homo[b], cons=cons[b],
+                left_found=bool(lf[b]), left_pos=int(lp[b]),
+                right_found=bool(rf[b]), right_pos=int(rp[b]))
+            out[i] = (fa, preps[i][5])
+    return out  # type: ignore[return-value]
 
 
 # A judge inspects the analysis and returns (accept, bl, br) in center coords.
@@ -129,6 +184,7 @@ def adjust_candidate(
     cfg: MSAConfig,
     judge: Judge,
     min_copies: int,
+    precomputed: Optional[Tuple[FamilyAnalysis, int]] = None,
 ) -> AdjustResult:
     """One round of boundary adjustment for one candidate."""
     n = len(copies)
@@ -136,7 +192,8 @@ def adjust_candidate(
         count("boundary.low_copy")
         return AdjustResult(accepted=False, start=int(interval[0]),
                             end=int(interval[1]), copy_count=n, low_copy=True)
-    fa, center_start = analyze_family(genome, interval, copies, cfg)
+    fa, center_start = precomputed or analyze_family(
+        genome, interval, copies, cfg)
     if not (fa.left_found and fa.right_found):
         count("boundary.not_found")
         return AdjustResult(accepted=False, start=int(interval[0]),

@@ -74,19 +74,35 @@ def verify_families(
     low_copy: List[Tuple[int, int]] = []
 
     with stage_timer(f"{stage}.boundary_adjust"):
-        for g, idxs in members.items():
-            # try up to 3 members per family, best-supported first
-            idxs = sorted(idxs, key=lambda i: (-len(copy_sets[i]),
-                                               -(gated[i, 1] - gated[i, 0])))
+        # batched first-round analysis for every family's primary member
+        ordered_members = {
+            g: sorted(idxs, key=lambda i: (-len(copy_sets[i]),
+                                           -(gated[i, 1] - gated[i, 0])))
+            for g, idxs in members.items()
+        }
+        primaries = [idxs[0] for idxs in ordered_members.values()
+                     if len(copy_sets[idxs[0]]) >= min_copies]
+        from hite_tpu.pipeline.boundary_adjust import analyze_families_batched
+
+        batch_items = [((int(gated[i, 0]), int(gated[i, 1])), copy_sets[i])
+                       for i in primaries]
+        first_round = dict(zip(
+            primaries,
+            analyze_families_batched(genome, batch_items, cfg.msa)
+            if batch_items else []))
+
+        for g, idxs in ordered_members.items():
             family_done = False
             family_low: Optional[Tuple[int, int]] = None
-            for rep in idxs[:3]:
+            for attempt, rep in enumerate(idxs[:3]):
                 interval = (int(gated[rep, 0]), int(gated[rep, 1]))
                 copies = copy_sets[rep]
                 result: Optional[AdjustResult] = None
                 for _round in range(cfg.msa.boundary_rounds):
+                    pre = first_round.get(rep) if _round == 0 else None
                     result = adjust_candidate(genome, interval, copies,
-                                              cfg.msa, judge, min_copies)
+                                              cfg.msa, judge, min_copies,
+                                              precomputed=pre)
                     if not result.accepted:
                         break
                     new_interval = (result.start, result.end)
