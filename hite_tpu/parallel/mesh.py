@@ -71,3 +71,21 @@ def batch_sharding(mesh: Mesh):
 
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
+
+
+def initialize_multihost(coordinator: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Initialize the multi-host JAX runtime (replaces Nextflow executors).
+
+    On a multi-host TPU slice each host calls this once before building
+    meshes; `jax.devices()` then spans the slice and the same GSPMD
+    shardings ride ICI within a slice and DCN across slices.  Pan-genome
+    runs assign whole genomes per host (they share no state), single-genome
+    runs shard the pair grid over all hosts' devices.
+    """
+    kwargs = {}
+    if coordinator is not None:
+        kwargs.update(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
