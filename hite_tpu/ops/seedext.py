@@ -86,11 +86,14 @@ def pair_hsps(
     sort, and runs split at a tile edge are re-joined downstream by FMEA
     chaining (gap tolerance >> tile span).
     """
+    from hite_tpu.ops.kmer import BUCKET_BASES
+
     Qk = q_kmers.shape[-1]
     qpos = jax.lax.broadcasted_iota(jnp.int32, (Qk // stride, 1), 0).squeeze(-1) * stride
     qk = q_kmers[qpos]
 
-    spos, valid = lookup(subj_index, qk, max_hits)      # [Q, H]
+    shift = 2 * (k - BUCKET_BASES) if k > BUCKET_BASES else None
+    spos, valid = lookup(subj_index, qk, max_hits, bucket_shift=shift)  # [Q, H]
     qpos_b = jnp.broadcast_to(qpos[:, None], spos.shape)
     excl = jnp.asarray(exclude_self, dtype=jnp.bool_)
     valid = valid & ~(excl & (qpos_b == spos))
@@ -99,8 +102,18 @@ def pair_hsps(
     diag = qpos_b - spos
     dbin = (diag + n_subj) // diag_band
 
-    # Tile the (query-major) seed list and sort each tile independently by
-    # (diagonal band, query position).
+    # Pack (diagonal band, query index) into ONE int32 sort key: dbin needs
+    # <= ceil(log2((Qk + n_subj) / diag_band)) bits and the strided query
+    # index the rest — one single-key sort of (key, spos) beats a 2-key
+    # 4-operand sort.  Falls back to unpacked keys when it doesn't fit.
+    Q = qpos_b.shape[0]
+    n_dbins = (Qk + n_subj) // diag_band + 2
+    packed_ok = n_dbins * Q < 2**31
+    qidx = jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0)
+    qidx = jnp.broadcast_to(qidx, spos.shape)
+
+    # Tile the (query-major) seed list and sort each tile independently:
+    # many small batched sorts vectorize better than one global sort.
     n_total = spos.shape[0] * spos.shape[1]
     T = min(tile_entries, n_total)
     n_tiles = (n_total + T - 1) // T
@@ -112,14 +125,24 @@ def pair_hsps(
             flat = jnp.concatenate([flat, jnp.full((pad,), fill, flat.dtype)])
         return flat.reshape(n_tiles, T)
 
-    t_dbin = tiled(jnp.where(valid, dbin, INT32_MAX), INT32_MAX)
-    t_qpos = tiled(jnp.where(valid, qpos_b, INT32_MAX), INT32_MAX)
-    t_spos = tiled(spos, 0)
-    t_valid = tiled(valid.astype(jnp.int32), 0)
-    s_dbin, s_qpos, s_spos, s_valid = jax.lax.sort(
-        (t_dbin, t_qpos, t_spos, t_valid), dimension=1, num_keys=2
-    )
-    s_valid = s_valid.astype(jnp.bool_)
+    if packed_ok:
+        key = dbin * Q + qidx
+        t_key = tiled(jnp.where(valid, key, INT32_MAX), INT32_MAX)
+        t_spos = tiled(spos, 0)
+        s_key, s_spos = jax.lax.sort((t_key, t_spos), dimension=1, num_keys=1)
+        s_valid = s_key != INT32_MAX
+        safe_key = jnp.where(s_valid, s_key, 0)
+        s_dbin = safe_key // Q
+        s_qpos = jnp.where(s_valid, (safe_key % Q) * stride, INT32_MAX)
+    else:
+        t_dbin = tiled(jnp.where(valid, dbin, INT32_MAX), INT32_MAX)
+        t_qpos = tiled(jnp.where(valid, qpos_b, INT32_MAX), INT32_MAX)
+        t_spos = tiled(spos, 0)
+        t_valid = tiled(valid.astype(jnp.int32), 0)
+        s_dbin, s_qpos, s_spos, s_valid = jax.lax.sort(
+            (t_dbin, t_qpos, t_spos, t_valid), dimension=1, num_keys=2
+        )
+        s_valid = s_valid.astype(jnp.bool_)
 
     # Run segmentation within each tile: a new run starts on diagonal-band
     # change or a qpos gap larger than run_gap.

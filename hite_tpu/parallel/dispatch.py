@@ -46,7 +46,7 @@ class ShardedPairAligner:
         self._pair_batch = jax.jit(
             base._pair_batch.__wrapped__
             if hasattr(base._pair_batch, "__wrapped__") else base._pair_batch,
-            in_shardings=(repl, repl, repl, repl, repl,
+            in_shardings=(repl, repl, repl, repl, repl, repl, repl,
                           shard_b, shard_b, shard_b),
         )
 
@@ -59,7 +59,8 @@ class ShardedPairAligner:
         bj = jax.device_put(jnp.asarray(pairs[:, 1]), self._shard_b)
         is_self = jax.device_put(jnp.asarray(pairs[:, 0] == pairs[:, 1]),
                                  self._shard_b)
-        return self._pair_batch(km, fwd.codes, fwd.pos, rc.codes, rc.pos,
+        return self._pair_batch(km, fwd.codes, fwd.pos, fwd.buckets,
+                                rc.codes, rc.pos, rc.buckets,
                                 bi, bj, is_self)
 
 

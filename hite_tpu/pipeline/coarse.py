@@ -72,7 +72,8 @@ class PairAligner:
 
         p = params
 
-        def _one_pair(q_km, f_codes, f_pos, r_codes, r_pos, is_self):
+        def _one_pair(q_km, f_codes, f_pos, f_bk, r_codes, r_pos, r_bk,
+                      is_self):
             hsp_kw = dict(
                 k=cfg.kmer_size, stride=p.stride, max_hits=p.max_hits,
                 diag_band=p.diag_band, run_gap=p.run_gap, min_seeds=p.min_seeds,
@@ -82,20 +83,21 @@ class PairAligner:
                 extend_threshold=cfg.fixed_extend_base_threshold,
                 max_chains=p.max_chains, min_len=80,
             )
-            fh = pair_hsps(q_km, KmerIndex(f_codes, f_pos),
+            fh = pair_hsps(q_km, KmerIndex(f_codes, f_pos, f_bk),
                            exclude_self=is_self, **hsp_kw)
             fc = chain_hsps(fh, **chain_kw)
-            rh = pair_hsps(q_km, KmerIndex(r_codes, r_pos),
+            rh = pair_hsps(q_km, KmerIndex(r_codes, r_pos, r_bk),
                            exclude_self=False, **hsp_kw)
             rch = chain_hsps(rh, **chain_kw)
             return fc, rch
 
         @jax.jit
-        def _pair_batch(km_all, f_codes_all, f_pos_all, r_codes_all, r_pos_all,
-                        bi, bj, is_self):
+        def _pair_batch(km_all, f_codes_all, f_pos_all, f_bk_all,
+                        r_codes_all, r_pos_all, r_bk_all, bi, bj, is_self):
             fn = jax.vmap(_one_pair)
             return fn(km_all[bi], f_codes_all[bj], f_pos_all[bj],
-                      r_codes_all[bj], r_pos_all[bj], is_self)
+                      f_bk_all[bj], r_codes_all[bj], r_pos_all[bj],
+                      r_bk_all[bj], is_self)
 
         self._pair_batch = _pair_batch
 
@@ -110,7 +112,8 @@ class PairAligner:
         bi = jnp.asarray(pairs[:, 0])
         bj = jnp.asarray(pairs[:, 1])
         is_self = jnp.asarray(pairs[:, 0] == pairs[:, 1])
-        return self._pair_batch(km, fwd.codes, fwd.pos, rc.codes, rc.pos,
+        return self._pair_batch(km, fwd.codes, fwd.pos, fwd.buckets,
+                                rc.codes, rc.pos, rc.buckets,
                                 bi, bj, is_self)
 
 

@@ -68,20 +68,20 @@ def _cached_map_batch(cfg: AlignConfig, stride: int, max_hits: int,
     p = dict(stride=stride, max_hits=max_hits, diag_band=diag_band,
              run_gap=run_gap, min_seeds=min_seeds, max_hsps=max_hsps)
 
-    def _map_one(cand_km, f_codes, f_pos, r_codes, r_pos):
+    def _map_one(cand_km, f_codes, f_pos, f_bk, r_codes, r_pos, r_bk):
         hsp_kw = dict(k=cfg.kmer_size, min_hsp_len=cfg.min_hsp_len, **p)
         chain_kw = dict(extend_threshold=cfg.fixed_extend_base_threshold,
                         max_chains=max_chains, min_len=50)
-        fh = pair_hsps(cand_km, KmerIndex(f_codes, f_pos), **hsp_kw)
+        fh = pair_hsps(cand_km, KmerIndex(f_codes, f_pos, f_bk), **hsp_kw)
         fc = chain_hsps(fh, **chain_kw)
-        rh = pair_hsps(cand_km, KmerIndex(r_codes, r_pos), **hsp_kw)
+        rh = pair_hsps(cand_km, KmerIndex(r_codes, r_pos, r_bk), **hsp_kw)
         rch = chain_hsps(rh, **chain_kw)
         return fc, rch
 
     @jax.jit
-    def _map_batch(cand_kms, f_codes, f_pos, r_codes, r_pos):
-        fn = jax.vmap(_map_one, in_axes=(0, None, None, None, None))
-        return fn(cand_kms, f_codes, f_pos, r_codes, r_pos)
+    def _map_batch(cand_kms, f_codes, f_pos, f_bk, r_codes, r_pos, r_bk):
+        fn = jax.vmap(_map_one, in_axes=(0, None, None, None, None, None, None))
+        return fn(cand_kms, f_codes, f_pos, f_bk, r_codes, r_pos, r_bk)
 
     return _map_batch
 
@@ -118,8 +118,8 @@ class CopyFinder:
         for s in range(idx.n_segs):
             fc, rch = self._map_batch(
                 cand_kms,
-                idx.fwd.codes[s], idx.fwd.pos[s],
-                idx.rc.codes[s], idx.rc.pos[s],
+                idx.fwd.codes[s], idx.fwd.pos[s], idx.fwd.buckets[s],
+                idx.rc.codes[s], idx.rc.pos[s], idx.rc.buckets[s],
             )
             soff = s * idx.seg_len
             for chains, strand in ((fc, 0), (rch, 1)):
