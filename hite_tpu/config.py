@@ -217,6 +217,9 @@ class PipelineConfig:
     curated_lib: Optional[str] = None
     is_output_ltr_lib: bool = True
     coverage_threshold: float = 0.95     # benchmark coverage
+    bm_hite: bool = False                # run BM_HiTE base-level evaluation
+    bm_rm2: bool = False                 # run BM_RM2 family-level evaluation
+    species_lib: Optional[str] = None    # curated benchmark library path
     debug: bool = False
     recover: bool = False                # resume from stage checkpoints
     seed: int = 0

@@ -188,8 +188,53 @@ def run_pipeline(
             write_annotation(os.path.join(out_dir, "genome"), hits, genome)
         result.metrics["annotation_hits"] = len(hits)
 
+    # stage 6: domain table (--domain; reference get_domain_info output)
+    if cfg.domain and libs.get("merged"):
+        from hite_tpu.pipeline.domain import DomainScanner, write_domain_table
+
+        pep = os.path.join(DATA_DIR, "protein", "TIRPeps.lib")
+        if os.path.exists(pep):
+            scanner = DomainScanner.from_fasta(pep)
+            names = list(libs["merged"].keys())
+            hit_sets = scanner.scan([libs["merged"][n] for n in names])
+            if out_dir:
+                write_domain_table(
+                    os.path.join(out_dir, "TE_domains.tsv"), names, hit_sets)
+            result.metrics["domain_hits"] = sum(len(h) for h in hit_sets)
+
+    # stage 7: library benchmarking (--BM_HiTE; gold lib = curated species
+    # library, falling back to the vendored test.ref like the reference's
+    # --species test, benchmarking.py:205-206)
+    if gold_lib_path(cfg) and libs.get("merged"):
+        from hite_tpu.pipeline.benchmark import (
+            evaluate_library, family_level_metrics,
+        )
+
+        gold = read_fasta(gold_lib_path(cfg))
+        if cfg.bm_hite:
+            result.metrics["BM_HiTE"] = evaluate_library(
+                genome, libs["merged"], gold, cfg, gindex)
+        if cfg.bm_rm2:
+            result.metrics["BM_RM2"] = family_level_metrics(
+                libs["merged"], gold, cfg)
+        if out_dir:
+            with open(os.path.join(out_dir, "benchmark.json"), "w") as fh:
+                json.dump({k: v for k, v in result.metrics.items()
+                           if k.startswith("BM_")}, fh, indent=2, default=float)
+
     result.metrics["stage_times"] = dict(STAGE_TIMES)
     return result
+
+
+def gold_lib_path(cfg: PipelineConfig) -> Optional[str]:
+    """Curated benchmark library for --species (reference
+    benchmarking.py:176-206 registry; only `test` ships with the repo)."""
+    if not (cfg.bm_hite or cfg.bm_rm2):
+        return None
+    if cfg.species_lib and os.path.exists(cfg.species_lib):
+        return cfg.species_lib
+    fallback = os.path.join(DATA_DIR, "test.ref")
+    return fallback if os.path.exists(fallback) else None
 
 
 def write_outputs(out_dir: str, genome: Genome, cfg: PipelineConfig,
@@ -258,6 +303,11 @@ def main(argv=None) -> None:
     p.add_argument("--curated_lib", default=None)
     p.add_argument("--annotate", type=int, default=0)
     p.add_argument("--recover", type=int, default=0)
+    p.add_argument("--domain", type=int, default=0)
+    p.add_argument("--BM_HiTE", type=int, default=0)
+    p.add_argument("--BM_RM2", type=int, default=0)
+    p.add_argument("--species", default=None,
+                   help="curated benchmark library FASTA path, or 'test'")
     p.add_argument("--remove_nested", type=int, default=1)
     p.add_argument("--is_denovo_nonltr", type=int, default=1)
     p.add_argument("--min_TE_len", type=int, default=80)
@@ -271,7 +321,10 @@ def main(argv=None) -> None:
         plant=bool(args.plant), curated_lib=args.curated_lib,
         annotate=bool(args.annotate), remove_nested=bool(args.remove_nested),
         is_denovo_nonltr=bool(args.is_denovo_nonltr),
-        recover=bool(args.recover),
+        recover=bool(args.recover), domain=bool(args.domain),
+        bm_hite=bool(args.BM_HiTE), bm_rm2=bool(args.BM_RM2),
+        species_lib=(None if args.species in (None, "test")
+                     else args.species),
     )
     cfg = cfg.replace(
         ltr=dataclasses.replace(cfg.ltr, miu=args.miu),
