@@ -61,6 +61,15 @@ def batched_local_align(
 
     i_arr = jax.lax.broadcasted_iota(jnp.int32, (B, La + 1), 1)  # DP row index
 
+    # gather-free symbol access: a's symbol per DP row is constant across
+    # diagonals (precomputed); b's symbol per row shifts by one each
+    # diagonal, maintained as a rolling buffer in the scan carry.
+    inv = jnp.int32(invalid_code)
+    a_sym_all = jnp.concatenate(
+        [jnp.full((B, 1), inv), a32], axis=1)              # [B, La+1]
+    b_padded = jnp.concatenate(
+        [b32, jnp.full((B, La + 2), inv)], axis=1)          # safe b[t] reads
+
     def empty_plane(fill=0):
         return jnp.full((B, La + 1), fill, jnp.int32)
 
@@ -73,23 +82,34 @@ def batched_local_align(
     planes_k0 = dict(h=empty_plane(), si=i_arr,
                      sj=jnp.clip(0 - i_arr, 0, None),
                      m=empty_plane(), l=empty_plane())
-    init = (planes_k1, planes_k0,
-            dict(score=jnp.zeros(B, jnp.int32), qs=jnp.zeros(B, jnp.int32),
-                 qe=jnp.zeros(B, jnp.int32), ss=jnp.zeros(B, jnp.int32),
-                 se=jnp.zeros(B, jnp.int32), matches=jnp.zeros(B, jnp.int32),
-                 alen=jnp.zeros(B, jnp.int32)))
+    # rolling b-symbol buffer: at diagonal k, br[i] == b[k-1-i]
+    # (init for k=1: br[0] = b[0], rest invalid)
+    br_init = jnp.concatenate(
+        [b_padded[:, :1], jnp.full((B, La), inv)], axis=1)  # [B, La+1]
+
+    # per-row-position running best (reduced to one cell after the scan)
+    best_init = dict(h=jnp.full((B, La + 1), NEG, jnp.int32),
+                     si=empty_plane(), sj=empty_plane(),
+                     m=empty_plane(), l=empty_plane(),
+                     ej=empty_plane())
+    init = (planes_k1, planes_k0, br_init, best_init)
 
     def shift_right(p):
         """plane[i] -> plane[i-1] (row i reads predecessor row i-1)."""
         return jnp.concatenate([jnp.zeros((B, 1), jnp.int32), p[:, :-1]], axis=1)
 
     def step(carry, k):
-        prev1, prev2, best = carry  # prev1 = diag k-1, prev2 = diag k-2
+        prev1, prev2, br, best = carry  # prev1 = diag k-1, prev2 = diag k-2
         j_arr = k - i_arr           # DP col index
         valid = (i_arr >= 1) & (i_arr <= La) & (j_arr >= 1) & (j_arr <= Lb)
 
-        a_sym = jnp.take_along_axis(a32, jnp.clip(i_arr - 1, 0, La - 1), axis=1)
-        b_sym = jnp.take_along_axis(b32, jnp.clip(j_arr - 1, 0, Lb - 1), axis=1)
+        # roll the b buffer: new element b[k-1] enters at row 0
+        new_b = jax.lax.dynamic_slice(
+            b_padded, (0, jnp.clip(k - 1, 0, b_padded.shape[1] - 1)), (B, 1))
+        br = jnp.concatenate([new_b, br[:, :-1]], axis=1)
+
+        a_sym = a_sym_all
+        b_sym = br
         ok = (a_sym < invalid_code) & (b_sym < invalid_code)
         is_match = (a_sym == b_sym) & ok
         if submatrix is not None:
@@ -127,32 +147,33 @@ def batched_local_align(
         ln = pick(jnp.zeros_like(h), shift_right(prev2["l"]) + 1,
                   shift_right(prev1["l"]) + 1, prev1["l"] + 1)
 
+        # elementwise running best per row position (no gathers in the loop)
         masked_h = jnp.where(valid, h, NEG)
-        row_best = jnp.argmax(masked_h, axis=1)
-        row_score = jnp.take_along_axis(masked_h, row_best[:, None], 1)[:, 0]
-        improved = row_score > best["score"]
-
-        def sel(new, old):
-            return jnp.where(improved, new, old)
-
-        gather = lambda p: jnp.take_along_axis(p, row_best[:, None], 1)[:, 0]
+        upd = masked_h > best["h"]
         best = dict(
-            score=sel(row_score, best["score"]),
-            qs=sel(gather(si), best["qs"]),
-            qe=sel(row_best, best["qe"]),                  # end row i == a end
-            ss=sel(gather(sj), best["ss"]),
-            se=sel(k - row_best, best["se"]),
-            matches=sel(gather(m), best["matches"]),
-            alen=sel(gather(ln), best["alen"]),
+            h=jnp.where(upd, masked_h, best["h"]),
+            si=jnp.where(upd, si, best["si"]),
+            sj=jnp.where(upd, sj, best["sj"]),
+            m=jnp.where(upd, m, best["m"]),
+            l=jnp.where(upd, ln, best["l"]),
+            ej=jnp.where(upd, j_arr, best["ej"]),
         )
         new_planes = dict(h=h, si=si, sj=sj, m=m, l=ln)
-        return (new_planes, prev1, best), None
+        return (new_planes, prev1, br, best), None
 
     ks = jnp.arange(2, La + Lb + 1, dtype=jnp.int32)
-    (prev1, prev2, best), _ = jax.lax.scan(step, init, ks)
-    return LocalAlign(score=best["score"], qs=best["qs"], qe=best["qe"],
-                      ss=best["ss"], se=best["se"], matches=best["matches"],
-                      alen=best["alen"])
+    (prev1, prev2, _br, best), _ = jax.lax.scan(step, init, ks)
+
+    # single final reduction over row positions
+    row_best = jnp.argmax(best["h"], axis=1)
+    g = lambda p: jnp.take_along_axis(p, row_best[:, None], 1)[:, 0]
+    score = g(best["h"])
+    return LocalAlign(
+        score=jnp.maximum(score, 0),
+        qs=g(best["si"]), qe=row_best,
+        ss=g(best["sj"]), se=g(best["ej"]),
+        matches=g(best["m"]), alen=g(best["l"]),
+    )
 
 
 class TerminalRepeat(NamedTuple):
