@@ -282,6 +282,15 @@ def write_outputs(out_dir: str, genome: Genome, cfg: PipelineConfig,
                     f"{r.identity:.4f}\t+\tunknown\tLTR\t"
                     f"{int(r.insert_time)}\n")
 
+    # LTR insertion-time table (reference draw_intact_LTR_insert_time
+    # data, Util.py:13379 — table form; plotting is a client concern)
+    if result.ltr is not None and result.ltr.records:
+        with open(os.path.join(out_dir, "ltr_insert_time.tsv"), "w") as fh:
+            fh.write("element\tidentity\tinsert_time_years\tcopies\n")
+            for n, r in enumerate(result.ltr.records):
+                fh.write(f"Intact_LTR_{n}\t{r.identity:.4f}\t"
+                         f"{int(r.insert_time)}\t{r.copy_count}\n")
+
     with open(os.path.join(out_dir, "stage_times.json"), "w") as fh:
         json.dump({k: round(v, 3) for k, v in STAGE_TIMES.items()}, fh,
                   indent=2)

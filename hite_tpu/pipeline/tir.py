@@ -21,7 +21,7 @@ import numpy as np
 
 from hite_tpu.config import PipelineConfig
 from hite_tpu.genome import Genome
-from hite_tpu.io.fasta import revcomp as np_revcomp
+from hite_tpu.io.fasta import encode_seq, revcomp as np_revcomp
 from hite_tpu.ops.tandem import tandem_fraction
 from hite_tpu.ops.terminal import find_terminal_repeat
 from hite_tpu.ops.tsd import tsd_search
@@ -93,6 +93,34 @@ def make_tir_judge(plant: bool):
     return judge
 
 
+def _short_tir_signature(sub: np.ndarray, tsd_size: int, plant: bool) -> bool:
+    """Superfamily-specific short-TIR acceptance (`get_short_tir_contigs`,
+    `Util.py:7297-7334`): hAT (TSD 8, <4kb), Mutator (TSD 9-11), plant
+    CACTA (CACTA/CACTG start + TSD 2-3), CCC terminals — all requiring
+    revcomp-identical terminal 5-mers."""
+    if len(sub) < 20:
+        return False
+    t5 = sub[:5]
+    t3 = sub[-5:]
+    if (t5 >= 4).any() or (t3 >= 4).any():
+        return False
+    if not (t5 == np_revcomp(t3)).all():
+        return False
+    if tsd_size == 8 and len(sub) < 4000:
+        return True                                   # hAT
+    if 9 <= tsd_size <= 11:
+        return True                                   # Mutator
+    cacta = encode_seq("CACT")
+    if plant and tsd_size in (2, 3) and (sub[:4] == cacta).all() \
+            and sub[4] in (0, 2):
+        return True                                   # CACTA / CACTG
+    ccc = encode_seq("CCC")
+    ggg = encode_seq("GGG")
+    if not plant and (sub[:3] == ccc).all() and (sub[-3:] == ggg).all():
+        return True                                   # CCC terminals
+    return False
+
+
 def structural_gate(
     genome: Genome,
     intervals: np.ndarray,
@@ -131,7 +159,7 @@ def structural_gate(
         # per candidate (ranked by boundary distance, larger size on ties —
         # the reference validates its top combos with itrsearch similarly)
         el_seqs: List[np.ndarray] = []
-        el_info: List[Tuple[int, int, int, int]] = []  # (cand, abs_s, abs_e, rank)
+        el_info: List[Tuple[int, int, int, int, int]] = []  # (cand, abs_s, abs_e, rank, tsd)
         for bi, i in enumerate(idxs):
             if not found[bi].any():
                 continue
@@ -156,7 +184,7 @@ def structural_gate(
                     continue
                 el_seqs.append(sub)
                 abs_s = int(intervals[i, 0]) - lf + el_s
-                el_info.append((i, abs_s, abs_s + (el_e - el_s), rank))
+                el_info.append((i, abs_s, abs_s + (el_e - el_s), rank, size))
         if not el_seqs:
             continue
         mat, elens = pad_seqs(el_seqs, n_rows=pad_rows(len(el_seqs)))
@@ -167,8 +195,18 @@ def structural_gate(
             min_len=cfg.terminal.itr_min_len)
         ok = np.asarray(tr.found)
         best_by_cand: Dict[int, Tuple[int, int, int]] = {}
-        for bi, (i, a_s, a_e, rank) in enumerate(el_info):
+        for bi, (i, a_s, a_e, rank, _size) in enumerate(el_info):
             if ok[bi] and (i not in best_by_cand or rank < best_by_cand[i][0]):
+                best_by_cand[i] = (rank, a_s, a_e)
+        # superfamily short-TIR rescue (get_short_tir_contigs,
+        # Util.py:7297-7334): candidates whose general ITR scan failed but
+        # whose TSD size + terminal structure match hAT / Mutator / plant
+        # CACTA / CCC-terminal signatures, requiring revcomp-identical
+        # terminal 5-mers
+        for bi, (i, a_s, a_e, rank, size) in enumerate(el_info):
+            if i in best_by_cand or rank != 0:
+                continue
+            if _short_tir_signature(el_seqs[bi], size, cfg.plant):
                 best_by_cand[i] = (rank, a_s, a_e)
         for i, (_rank, a_s, a_e) in best_by_cand.items():
             kept.append(i)

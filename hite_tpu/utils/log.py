@@ -24,6 +24,19 @@ STAGE_TIMES: Dict[str, float] = {}
 COUNTERS: Dict[str, int] = {}
 
 
+STAGE_PEAK_RSS: Dict[str, int] = {}
+
+
+def _rss_kb() -> int:
+    """Current max RSS (KB) — replaces the reference's memusg.py sampler."""
+    try:
+        import resource
+
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    except Exception:
+        return 0
+
+
 @contextlib.contextmanager
 def stage_timer(name: str):
     t0 = time.perf_counter()
@@ -33,6 +46,7 @@ def stage_timer(name: str):
     finally:
         dt = time.perf_counter() - t0
         STAGE_TIMES[name] = STAGE_TIMES.get(name, 0.0) + dt
+        STAGE_PEAK_RSS[name] = max(STAGE_PEAK_RSS.get(name, 0), _rss_kb())
         logger.info("stage %s: done in %.2fs", name, dt)
 
 

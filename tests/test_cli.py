@@ -27,7 +27,7 @@ def test_cli_end_to_end(tmp_path):
          "from hite_tpu.pipeline.run import main; main()",
          "--genome", fa, "--out_dir", out,
          "--chrom_seg_length", "16384", "--BM_HiTE", "1"],
-        capture_output=True, text=True, timeout=900, env=env,
+        capture_output=True, text=True, timeout=1500, env=env,
         cwd="/root/repo")
     assert proc.returncode == 0, proc.stderr[-3000:]
     for f in ("confident_TE.cons.fa", "confident_tir.fa", "stage_times.json"):
