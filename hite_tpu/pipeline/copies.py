@@ -115,6 +115,7 @@ class CopyFinder:
         mat, lens = pad_seqs(cand_seqs, n_rows=pad_rows(len(cand_seqs)))
         cand_kms = enc.kmer_codes(jnp.asarray(mat), cfg.kmer_size)
 
+        lens_f = np.maximum(lens[: len(cand_seqs)].astype(np.float64), 1)
         for s in range(idx.n_segs):
             fc, rch = self._map_batch(
                 cand_kms,
@@ -123,27 +124,28 @@ class CopyFinder:
             )
             soff = s * idx.seg_len
             for chains, strand in ((fc, 0), (rch, 1)):
-                qs = np.asarray(chains.qs)
-                qe = np.asarray(chains.qe)
-                ss = np.asarray(chains.ss)
-                se = np.asarray(chains.se)
-                ns = np.asarray(chains.nseeds)
-                valid = np.asarray(chains.valid)
-                for c in range(len(cand_seqs)):
-                    L = int(lens[c])
-                    v = valid[c]
-                    if not v.any():
-                        continue
-                    qcov = (qe[c] - qs[c]) / max(L, 1)
-                    slen = se[c] - ss[c]
-                    ok = v & (qcov >= min_coverage) & (slen >= min_coverage * L)
-                    ok &= slen <= max_len_ratio * L
-                    for i in np.nonzero(ok)[0]:
-                        s0, s1 = int(ss[c, i]), int(se[c, i])
-                        if strand == 1:
-                            s0, s1 = idx.seg_len - s1, idx.seg_len - s0
-                        out[c].append(CopyHit(start=soff + s0, end=soff + s1,
-                                              strand=strand, nseeds=int(ns[c, i])))
+                valid = np.asarray(chains.valid)[: len(cand_seqs)]
+                if not valid.any():
+                    continue
+                qs = np.asarray(chains.qs)[: len(cand_seqs)]
+                qe = np.asarray(chains.qe)[: len(cand_seqs)]
+                ss = np.asarray(chains.ss)[: len(cand_seqs)]
+                se = np.asarray(chains.se)[: len(cand_seqs)]
+                ns = np.asarray(chains.nseeds)[: len(cand_seqs)]
+                qcov = (qe - qs) / lens_f[:, None]
+                slen = se - ss
+                ok = valid & (qcov >= min_coverage)
+                ok &= slen >= min_coverage * lens_f[:, None]
+                ok &= slen <= max_len_ratio * lens_f[:, None]
+                c_idx, h_idx = np.nonzero(ok)
+                s0 = ss[c_idx, h_idx]
+                s1 = se[c_idx, h_idx]
+                if strand == 1:
+                    s0, s1 = idx.seg_len - s1, idx.seg_len - s0
+                for c, a, b_, n in zip(c_idx, soff + s0, soff + s1,
+                                       ns[c_idx, h_idx]):
+                    out[c].append(CopyHit(start=int(a), end=int(b_),
+                                          strand=strand, nseeds=int(n)))
         # dedup overlapping hits, cap at max_copies (prefer more seeds)
         for c, hits in enumerate(out):
             hits.sort(key=lambda h: -h.nseeds)

@@ -41,6 +41,34 @@ from hite_tpu.utils.log import STAGE_TIMES, logger, stage_timer
 DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data")
 
 
+def _mask_tandem_regions(genome: Genome, seg_len: int = 131_072,
+                         batch: int = 16) -> int:
+    """N-out tandem arrays in the masked genome copy (TRF -m equivalent)."""
+    import jax.numpy as jnp
+
+    from hite_tpu.ops.tandem import tandem_mask
+
+    segs = genome.segment_view(seg_len)
+    total = 0
+    for b0 in range(0, segs.shape[0], batch):
+        chunk = segs[b0 : b0 + batch]
+        if chunk.shape[0] < batch:
+            chunk = np.pad(chunk, ((0, batch - chunk.shape[0]), (0, 0)),
+                           constant_values=4)
+        mask = np.asarray(tandem_mask(jnp.asarray(chunk)))
+        for bi in range(min(batch, segs.shape[0] - b0)):
+            pos = np.nonzero(mask[bi])[0]
+            if len(pos) == 0:
+                continue
+            off = (b0 + bi) * seg_len
+            lo = off + pos
+            hi = np.minimum(lo + 1, len(genome.masked))
+            genome.masked[lo[lo < len(genome.masked)]] = 4
+            total += len(pos)
+    logger.info("tandem mask: %d bp masked", total)
+    return total
+
+
 def _rescue_low_copy(genome: Genome, cfg: PipelineConfig, *, tir=None,
                      helitron=None, non_ltr=None) -> int:
     """Domain-based low-copy rescue: move low-copy candidates carrying a
@@ -114,8 +142,13 @@ def run_pipeline(
     other = ckpt.run("other",
                      lambda: run_other_detection(genome, cfg, cfg.curated_lib))
 
-    # stage 1: coarse de-novo discovery on the (masked) genome
+    # stage 1a: tandem masking of the genome before discovery
+    # (reference filter_tandem_repeats, Util.py:4672-4697 via TRF -m)
     genome.init_mask()
+    with stage_timer("pipeline.tandem_mask"):
+        _mask_tandem_regions(genome)
+
+    # stage 1b: coarse de-novo discovery on the (masked) genome
     with stage_timer("pipeline.coarse"):
         coarse = ckpt.run("coarse",
                           lambda: coarse_discover(genome, cfg.align, params))
