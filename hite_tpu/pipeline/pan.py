@@ -88,9 +88,12 @@ def run_pan_pipeline(
                 for n, g in genomes.items()}
     finders = {n: CopyFinder(gindexes[n]) for n in genomes}
 
-    # stage 3: cross-genome low-copy rescue (pan_recover_low_copy_TEs)
+    # stage 3: cross-genome low-copy rescue (pan_recover_low_copy_TEs) —
+    # all low-copy candidates mapped against each genome in ONE batched
+    # call, then re-judged with accumulated pan support
     rescued = 0
     with stage_timer("pan.low_copy_rescue"):
+        low_items: List[Tuple[str, int, int, np.ndarray]] = []
         for gname, res in per_genome.items():
             home = genomes[gname]
             for mod in (res.tir, res.helitron, res.non_ltr):
@@ -98,31 +101,35 @@ def run_pan_pipeline(
                     continue
                 for (s, e) in mod.low_copy.intervals:
                     cand = home.extract(int(s), int(e))
-                    if len(cand) < cfg.library.min_te_len:
-                        continue
-                    # accumulate copies across every genome
-                    pan_copies: List[Tuple[str, CopyHit]] = []
-                    for oname in genomes:
-                        for h in finders[oname].find_copies(
-                                [cand], min_coverage=0.9,
-                                max_copies=cfg.msa.max_copies)[0]:
-                            pan_copies.append((oname, h))
-                    if len(pan_copies) < min_pan_copies:
-                        continue
-                    # re-judge with copies from the home genome only for
-                    # matrix building (cross-genome frames concatenate in the
-                    # reference; decision-level: enough pan support + clean
-                    # boundaries in the home genome MSA)
-                    home_hits = [h for on, h in pan_copies if on == gname]
-                    if len(home_hits) < 2:
-                        home_hits = [h for _on, h in pan_copies][:cfg.msa.max_copies]
-                    result = adjust_candidate(
-                        home, (int(s), int(e)), home_hits, cfg.msa,
-                        _homology_judge, min_copies=2)
-                    if result.accepted:
-                        key = f"{gname}:rescued_{rescued}#Unknown"
-                        pan_lib[key] = home.extract(result.start, result.end)
-                        rescued += 1
+                    if len(cand) >= cfg.library.min_te_len:
+                        low_items.append((gname, int(s), int(e), cand))
+
+        if low_items:
+            # per-genome batched mapping of every low-copy candidate
+            per_genome_hits: Dict[str, List[List[CopyHit]]] = {}
+            for oname in genomes:
+                per_genome_hits[oname] = finders[oname].find_copies(
+                    [it[3] for it in low_items], min_coverage=0.9,
+                    max_copies=cfg.msa.max_copies)
+            for li, (gname, s, e, cand) in enumerate(low_items):
+                total = sum(len(per_genome_hits[o][li]) for o in genomes)
+                if total < min_pan_copies:
+                    continue
+                # re-judge with copies from the home genome for the matrix
+                # (decision-level: enough pan support + clean boundaries)
+                home_hits = per_genome_hits[gname][li]
+                if len(home_hits) < 2:
+                    home_hits = [h for o in genomes
+                                 for h in per_genome_hits[o][li]
+                                 ][: cfg.msa.max_copies]
+                result = adjust_candidate(
+                    genomes[gname], (s, e), home_hits, cfg.msa,
+                    _homology_judge, min_copies=2)
+                if result.accepted:
+                    key = f"{gname}:rescued_{rescued}#Unknown"
+                    pan_lib[key] = genomes[gname].extract(result.start,
+                                                          result.end)
+                    rescued += 1
     logger.info("pan: rescued %d low-copy families across genomes", rescued)
 
     # stage 4: occupancy + PAV via full-length copies per genome (coverage
