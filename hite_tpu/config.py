@@ -184,6 +184,7 @@ class ClassifyConfig:
     use_neural: bool = True
     use_tsd_feature: bool = True
     is_wicker: bool = False              # Wicker vs RepeatMasker label vocabulary
+    model_path: Optional[str] = None     # trained SuperfamilyCNN params (pickle)
     internal_kmers: Tuple[int, ...] = (5,)
     terminal_kmers: Tuple[int, ...] = (3, 4)
     num_classes: int = 28                # Wicker superfamilies

@@ -149,5 +149,53 @@ def build_library(
                 if len(seqs[r]) >= cfg.library.min_te_len:
                     merged[names[r]] = seqs[r]
         libs["merged"] = merged
+
+    # neural label refinement (NeuralTE classification of the library,
+    # `get_nonRedundant_lib.py:66-79`): entries whose structural label is
+    # Unknown/generic get the classifier's superfamily call when a trained
+    # model is configured
+    if cfg.classify.use_neural and cfg.classify.model_path and \
+            libs.get("merged"):
+        libs["merged"] = refine_labels(libs["merged"], cfg)
     logger.info("library: %d merged entries", len(libs.get("merged", {})))
     return libs
+
+
+def refine_labels(merged: Dict[str, np.ndarray],
+                  cfg: PipelineConfig) -> Dict[str, np.ndarray]:
+    """Relabel Unknown/generic entries with the trained SuperfamilyCNN."""
+    import os
+
+    import jax.numpy as jnp
+
+    from hite_tpu.models.classifier import SuperfamilyCNN, predict_labels
+    from hite_tpu.models.features import classifier_features
+    from hite_tpu.models.trainer import load_params
+    from hite_tpu.pipeline.candidates import pad_rows, pad_seqs
+
+    if not os.path.exists(cfg.classify.model_path):
+        logger.warning("classifier model %s missing; labels unchanged",
+                       cfg.classify.model_path)
+        return merged
+    params = load_params(cfg.classify.model_path)
+    model = SuperfamilyCNN()
+
+    target = [n for n in merged
+              if n.partition("#")[2] in ("", "Unknown", "DNA", "LINE")]
+    if not target:
+        return merged
+    seqs = [merged[n][:8192] for n in target]
+    mat, lens = pad_seqs(seqs, n_rows=pad_rows(len(seqs)))
+    X = classifier_features(jnp.asarray(mat), jnp.asarray(lens))
+    logits = model.apply(params, X[: len(target)])
+    labels = predict_labels(logits, is_wicker=cfg.classify.is_wicker)
+    out: Dict[str, np.ndarray] = {}
+    for n, seq in merged.items():
+        if n in target:
+            base = n.partition("#")[0]
+            out[f"{base}#{labels[target.index(n)]}"] = seq
+        else:
+            out[n] = seq
+    logger.info("library: refined %d labels with the neural classifier",
+                len(target))
+    return out

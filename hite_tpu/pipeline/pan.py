@@ -180,6 +180,46 @@ def run_pan_pipeline(
     return result
 
 
+def main(argv=None) -> None:
+    """Pan-genome CLI (reference panHiTE.py surface).
+
+    Genomes come from --pan_genomes_dir plus an optional --genome_list
+    file (one `genome_name[\\tgene_name]` per line, like the reference).
+    """
+    import argparse
+
+    from hite_tpu.pipeline.coarse import CoarseParams
+
+    p = argparse.ArgumentParser(description="hite_tpu pan-genome TE analysis")
+    p.add_argument("--pan_genomes_dir", required=True)
+    p.add_argument("--genome_list", default=None)
+    p.add_argument("--out_dir", default="./pan_out")
+    p.add_argument("--miu", type=float, default=1.3e-8)
+    p.add_argument("--plant", type=int, default=1)
+    p.add_argument("--chrom_seg_length", type=int, default=131_072)
+    args = p.parse_args(argv)
+
+    names: List[str] = []
+    if args.genome_list:
+        with open(args.genome_list) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    names.append(line.split("\t")[0])
+    else:
+        names = sorted(f for f in os.listdir(args.pan_genomes_dir)
+                       if f.endswith((".fa", ".fasta", ".fna")))
+
+    genomes = {n: Genome.from_fasta(os.path.join(args.pan_genomes_dir, n))
+               for n in names}
+    import dataclasses
+
+    cfg = PipelineConfig(plant=bool(args.plant))
+    cfg = cfg.replace(ltr=dataclasses.replace(cfg.ltr, miu=args.miu))
+    run_pan_pipeline(genomes, cfg, out_dir=args.out_dir,
+                     coarse_params=CoarseParams(seg_len=args.chrom_seg_length))
+
+
 def gene_te_associations(
     genome: Genome,
     te_hits,

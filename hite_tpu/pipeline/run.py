@@ -353,6 +353,7 @@ def main(argv=None) -> None:
     p.add_argument("--remove_nested", type=int, default=1)
     p.add_argument("--is_denovo_nonltr", type=int, default=1)
     p.add_argument("--min_TE_len", type=int, default=80)
+    p.add_argument("--is_wicker", type=int, default=0)
     p.add_argument("--chrom_seg_length", type=int, default=131_072)
     args = p.parse_args(argv)
 
@@ -371,6 +372,8 @@ def main(argv=None) -> None:
     cfg = cfg.replace(
         ltr=dataclasses.replace(cfg.ltr, miu=args.miu),
         library=dataclasses.replace(cfg.library, min_te_len=args.min_TE_len),
+        classify=dataclasses.replace(cfg.classify,
+                                     is_wicker=bool(args.is_wicker)),
     )
     genome = Genome.from_fasta(args.genome)
     params = CoarseParams(seg_len=args.chrom_seg_length)

@@ -1,0 +1,35 @@
+"""Neural label refinement in library assembly."""
+
+import dataclasses
+
+import numpy as np
+
+from hite_tpu.config import PipelineConfig
+from hite_tpu.models.trainer import make_dataset, save_params, train_classifier
+from hite_tpu.pipeline.library import refine_labels
+
+import sys
+sys.path.insert(0, "tests")
+from test_trainer import _synthetic_lib  # noqa: E402
+
+
+def test_refine_labels(tmp_path):
+    rng = np.random.default_rng(0)
+    lib = _synthetic_lib(rng, n_per=24)
+    X, y, names = make_dataset(lib)
+    model, params, _ = train_classifier(X, y, epochs=25, seed=0)
+    path = str(tmp_path / "clf.pkl")
+    save_params(path, params)
+
+    cfg = PipelineConfig()
+    cfg = cfg.replace(classify=dataclasses.replace(
+        cfg.classify, model_path=path, is_wicker=False))
+
+    # an unknown entry drawn from family a (DNA/hAT) and a labeled one
+    a_seq = lib["a0#DNA/hAT"]
+    b_seq = lib["b0#LTR/Gypsy"]
+    merged = {"fam1#Unknown": a_seq, "fam2#LTR/Gypsy": b_seq}
+    out = refine_labels(merged, cfg)
+    assert "fam2#LTR/Gypsy" in out                      # untouched
+    fam1 = [n for n in out if n.startswith("fam1#")][0]
+    assert fam1 == "fam1#DNA/hAT", fam1
