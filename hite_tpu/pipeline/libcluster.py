@@ -109,6 +109,49 @@ def cluster_seqs(
     return labels, reps
 
 
+def cluster_consensus(
+    seqs: Sequence[np.ndarray],
+    labels: np.ndarray,
+    reps: Sequence[int],
+    min_members: int = 3,
+    max_members: int = 50,
+) -> Dict[int, np.ndarray]:
+    """Per-cluster majority consensus via the anchor-projection MSA.
+
+    Replaces the Ninja-tree + mafft consensus of `deredundant_for_LTR_v5`
+    (`generate_cons_v1` `Util.py:12457-12498`): clusters with enough
+    members get a column-majority consensus instead of the raw
+    representative sequence.  Returns {rep_index: consensus codes}.
+    """
+    import jax.numpy as jnp
+
+    from hite_tpu.ops.boundary import consensus as col_consensus
+    from hite_tpu.ops.msa import project_to_center
+    from hite_tpu.pipeline.candidates import bucket_for, pad_rows, pad_seqs
+
+    out: Dict[int, np.ndarray] = {}
+    for rep in reps:
+        members = [i for i in range(len(seqs)) if labels[i] == rep]
+        if len(members) < min_members:
+            out[rep] = seqs[rep]
+            continue
+        members = members[:max_members]
+        center = seqs[rep]
+        width = bucket_for(len(center))
+        mat, lens = pad_seqs([seqs[i] for i in members], width,
+                             n_rows=pad_rows(len(members)))
+        c_pad = np.full(width, 4, np.uint8)
+        c_pad[: len(center)] = center
+        M = project_to_center(jnp.asarray(c_pad), jnp.asarray(mat),
+                              jnp.asarray(lens))
+        cons, _sup = col_consensus(M)
+        cons = np.asarray(cons)[: len(center)]
+        cons = cons[cons < 4]
+        out[rep] = cons.astype(np.uint8) if len(cons) >= 0.5 * len(center) \
+            else seqs[rep]
+    return out
+
+
 def remove_nested(
     seqs: Sequence[np.ndarray],
     cfg: AlignConfig,

@@ -37,16 +37,20 @@ def _cluster_and_name(
     prefix: str,
     te_class: str,
     labels: Optional[Sequence[str]] = None,
+    polish: bool = True,
 ) -> Dict[str, np.ndarray]:
     if not seqs:
         return {}
+    from hite_tpu.pipeline.libcluster import cluster_consensus
+
     lab, reps = cluster_seqs(seqs, cfg.align,
                              identity=cfg.library.cluster_identity,
                              coverage=cfg.library.cluster_cov_short)
+    cons = cluster_consensus(seqs, lab, reps) if polish else {}
     out = {}
     for n, r in enumerate(reps):
         cls = labels[r] if labels is not None else te_class
-        out[f"{prefix}_{n}#{cls}"] = seqs[r]
+        out[f"{prefix}_{n}#{cls}"] = cons.get(r, seqs[r])
     return out
 
 
