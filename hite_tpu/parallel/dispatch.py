@@ -88,8 +88,13 @@ def coarse_discover_sharded(
     with stage_timer("coarse.prepare"):
         km, fwd, rc = aligner.prepare(segs)
 
-    all_pairs = np.array([(i, j) for i in range(n_segs) for j in range(i + 1)],
-                         dtype=np.int64)
+    # same masked-pair skipping as the single-device path
+    valid_frac = (segs < 4).mean(axis=1)
+    live = valid_frac >= 0.02
+    all_pairs = np.array(
+        [(i, j) for i in range(n_segs) for j in range(i + 1)
+         if live[i] and live[j]],
+        dtype=np.int64).reshape(-1, 2)
     cand: List[np.ndarray] = []
     with stage_timer("coarse.align.sharded"):
         for b0 in range(0, len(all_pairs), batch):

@@ -170,8 +170,16 @@ def coarse_discover(
     with stage_timer("coarse.prepare"):
         km, fwd, rc = aligner.prepare(segs)
 
-    all_pairs = np.array([(i, j) for i in range(n_segs) for j in range(i + 1)],
-                         dtype=np.int64)
+    # skip pairs where either side is (almost) fully masked — the payoff of
+    # progressive prev-TE/tandem masking, like the reference's masked-chunk
+    # blast savings (N segments produce no seeds but would still pay the
+    # full sort cost)
+    valid_frac = (segs < 4).mean(axis=1)
+    live = valid_frac >= 0.02
+    all_pairs = np.array(
+        [(i, j) for i in range(n_segs) for j in range(i + 1)
+         if live[i] and live[j]],
+        dtype=np.int64).reshape(-1, 2)
     cand: List[np.ndarray] = []
     with stage_timer("coarse.align"):
         for b0 in range(0, len(all_pairs), p.pair_batch):

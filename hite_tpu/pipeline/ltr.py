@@ -111,8 +111,11 @@ def ltr_pair_candidates(
 
     one_seg_j = jax.jit(jax.vmap(one_seg))
     out: List[Tuple[int, int, int, int]] = []
-    for b0 in range(0, segs.shape[0], 8):
-        batch = segs_d[b0 : b0 + 8]
+    # skip (almost) fully masked segments
+    live_idx = np.nonzero((segs < 4).mean(axis=1) >= 0.02)[0]
+    for b0 in range(0, len(live_idx), 8):
+        sel = live_idx[b0 : b0 + 8]
+        batch = segs_d[jnp.asarray(sel)]
         if batch.shape[0] < 8:
             batch = jnp.pad(batch, ((0, 8 - batch.shape[0]), (0, 0)),
                             constant_values=4)
@@ -120,8 +123,8 @@ def ltr_pair_candidates(
         qs, qe = np.asarray(ch.qs), np.asarray(ch.qe)
         ss, se = np.asarray(ch.ss), np.asarray(ch.se)
         valid = np.asarray(ch.valid)
-        for bi in range(min(8, segs.shape[0] - b0)):
-            off = (b0 + bi) * seg_len
+        for bi in range(len(sel)):
+            off = int(sel[bi]) * seg_len
             for i in np.nonzero(valid[bi])[0]:
                 a, b_, c, d = qs[bi, i], qe[bi, i], ss[bi, i], se[bi, i]
                 if c <= a:               # symmetric duplicate; keep left-first

@@ -1,0 +1,56 @@
+"""GFF / .out / .tbl writer format tests."""
+
+import os
+
+from hite_tpu.io.gff import (
+    AnnotationHit, write_full_length_gff, write_gff, write_rm_out, write_tbl,
+)
+
+
+def _hits():
+    return [
+        AnnotationHit(contig="chr1", start=100, end=600, strand="+",
+                      family="TIR_0", te_class="DNA/hAT", identity=0.97,
+                      full_length=True),
+        AnnotationHit(contig="chr1", start=900, end=1200, strand="-",
+                      family="LTR_1", te_class="LTR/Gypsy", identity=0.88,
+                      full_length=False),
+    ]
+
+
+def test_write_gff(tmp_path):
+    p = str(tmp_path / "x.gff")
+    write_gff(p, _hits())
+    lines = open(p).read().splitlines()
+    assert lines[0] == "##gff-version 3"
+    cols = lines[1].split("\t")
+    assert len(cols) == 9
+    assert cols[0] == "chr1" and cols[3] == "100" and cols[4] == "600"
+    assert "Classification=DNA/hAT" in cols[8]
+    assert lines[2].split("\t")[6] == "-"
+
+
+def test_write_rm_out(tmp_path):
+    p = str(tmp_path / "x.out")
+    write_rm_out(p, _hits())
+    body = open(p).read().splitlines()
+    assert "position in query" in body[0]
+    data = [l for l in body if l.strip() and l.lstrip()[0].isdigit()]
+    assert len(data) == 2
+    assert "C" in data[1].split()  # minus strand marked C like RepeatMasker
+
+
+def test_write_tbl(tmp_path):
+    p = str(tmp_path / "x.tbl")
+    write_tbl(p, _hits(), genome_bp=10_000)
+    text = open(p).read()
+    assert "total length: 10000 bp" in text
+    assert "DNA" in text and "LTR" in text
+    assert "bases masked: 802 bp" in text  # 501 + 301
+
+
+def test_full_length_gff(tmp_path):
+    p = str(tmp_path / "fl.gff")
+    write_full_length_gff(p, _hits())
+    lines = [l for l in open(p) if not l.startswith("#")]
+    assert len(lines) == 1 and "TIR_0" in lines[0]
