@@ -26,6 +26,12 @@ BASELINE_MBP_S = 0.1  # estimated reference coarse-stage throughput (see above)
 def main() -> None:
     import jax
 
+    try:  # persistent compile cache cuts warmup wall-clock across runs
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from hite_tpu.config import AlignConfig
     from hite_tpu.genome import synthetic_genome
     from hite_tpu.pipeline.coarse import CoarseParams, coarse_discover

@@ -131,19 +131,32 @@ def _pad_patterns(bank: LCVBank, p_mult: int = 128):
     return allowed, nconstr, group
 
 
+_SCORER_CACHE: dict = {}
+
+
 def lcv_scores(
     seqs: jnp.ndarray,
     bank: LCVBank,
     *,
     tile: int = 2048,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-position LCV hit counts and matched widths.
+    """Per-position LCV hit counts and matched widths (jitted per bank).
 
     seqs: uint8 [B, L] codes.  Returns (score int32 [B, L], width int32
     [B, L]) — the number of distinct source patterns with a variant
     matching the window starting at each position (HelitronScanner's
     per-site score) and the widest matching variant (0 when none).
     """
+    key = (id(bank), tile)
+    fn = _SCORER_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(functools.partial(_lcv_scores_impl, bank=bank, tile=tile),
+                     static_argnames=())
+        _SCORER_CACHE[key] = fn
+    return fn(seqs)
+
+
+def _lcv_scores_impl(seqs: jnp.ndarray, *, bank: LCVBank, tile: int):
     allowed_np, nconstr_np, group_np = _pad_patterns(bank)
     P, W, _ = allowed_np.shape
     allowed = jnp.asarray(allowed_np.reshape(P, W * 4))

@@ -28,6 +28,8 @@ static shapes, vmappable over family batches.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -63,6 +65,8 @@ def _forward_fill(vals: jnp.ndarray, valid: jnp.ndarray):
     return filled, had
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "k", "max_hits", "diag_band", "diag_tol"))
 def project_to_center(
     center: jnp.ndarray,
     copies: jnp.ndarray,

@@ -15,6 +15,8 @@ tandems are still caught by the coarse self-alignment chains.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -30,6 +32,8 @@ def _box_density(x: jnp.ndarray, window: int) -> jnp.ndarray:
     return (c[..., hi] - c[..., lo]) / jnp.maximum(hi - lo, 1)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("max_period", "density", "window"))
 def tandem_mask(
     seqs: jnp.ndarray,
     *,
@@ -50,9 +54,14 @@ def tandem_mask(
     return out
 
 
-def tandem_fraction(seqs: jnp.ndarray, lens: jnp.ndarray, **kw) -> jnp.ndarray:
+@functools.partial(jax.jit,
+                   static_argnames=("max_period", "density", "window"))
+def tandem_fraction(seqs: jnp.ndarray, lens: jnp.ndarray, *,
+                    max_period: int = 16, density: float = 0.8,
+                    window: int = 24) -> jnp.ndarray:
     """Fraction of each (padded) candidate covered by tandem repeats [B]."""
-    mask = tandem_mask(seqs, **kw)
+    mask = tandem_mask(seqs, max_period=max_period, density=density,
+                       window=window)
     L = seqs.shape[-1]
     idx = jax.lax.broadcasted_iota(jnp.int32, seqs.shape, seqs.ndim - 1)
     valid = idx < lens[..., None]

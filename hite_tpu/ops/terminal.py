@@ -15,6 +15,7 @@ alignment length — so identity and minimum-length gates (0.7/7 for ITR,
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -37,6 +38,8 @@ class LocalAlign(NamedTuple):
     alen: jnp.ndarray     # alignment length (cells)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "match", "mismatch", "gap", "invalid_code"))
 def batched_local_align(
     a: jnp.ndarray,
     b: jnp.ndarray,
@@ -209,6 +212,8 @@ def _end_windows(seqs: jnp.ndarray, lens: jnp.ndarray, window: int):
     return left, right, jnp.maximum(ridx[:, 0], 0)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "inverted", "window", "min_identity", "min_len"))
 def find_terminal_repeat(
     seqs: jnp.ndarray,
     lens: jnp.ndarray,

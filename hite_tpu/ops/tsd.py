@@ -15,6 +15,7 @@ onehot(right window j)>.  Size-specific motif rules (size-2 'TA', size-4
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -44,6 +45,8 @@ class TSDHit(NamedTuple):
     sizes: Tuple[int, ...]
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "sizes", "mismatch_min_len", "plant", "boundary_l", "boundary_r"))
 def tsd_search(
     left_flank: jnp.ndarray,
     right_flank: jnp.ndarray,

@@ -76,6 +76,22 @@ def both_ends_frame(
     return np.asarray(M)
 
 
+import functools
+
+
+@jax.jit
+def _rule_judge_dev(M: jnp.ndarray) -> jnp.ndarray:
+    present = jnp.sum((M < 4).any(1))
+    thr = adaptive_threshold(present)
+    stats = column_stats(M, thr)
+    width = FRAME_FLANK + FRAME_CORE
+    left = search_boundary(stats.homo, jnp.int32(FRAME_FLANK), side="left",
+                           radius=30)
+    right = search_boundary(stats.homo, jnp.int32(2 * width - FRAME_FLANK),
+                            side="right", radius=30)
+    return left.found & right.found
+
+
 def rule_judge_frame(M: np.ndarray) -> bool:
     """True when flank homology breaks at both boundaries.
 
@@ -84,16 +100,7 @@ def rule_judge_frame(M: np.ndarray) -> bool:
     different loci, so columns OUTSIDE the element must not be homologous,
     while columns inside are.
     """
-    R = M.shape[0]
-    present = int((M < 4).any(1).sum())
-    thr = float(adaptive_threshold(jnp.int32(present)))
-    stats = column_stats(jnp.asarray(M), thr)
-    left = search_boundary(stats.homo, jnp.int32(FRAME_FLANK), side="left",
-                           radius=30)
-    width = FRAME_FLANK + FRAME_CORE
-    right = search_boundary(stats.homo, jnp.int32(2 * width - FRAME_FLANK),
-                            side="right", radius=30)
-    return bool(left.found) and bool(right.found)
+    return bool(_rule_judge_dev(jnp.asarray(M)))
 
 
 def cnn_inputs(M: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
