@@ -14,6 +14,7 @@ Matrix codes: 0-3 bases, 4 N, 5 gap (see ops.msa).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Sequence, Tuple
 
 import jax
@@ -117,6 +118,7 @@ def search_boundary(
     return BoundaryCall(found=found, pos=best)
 
 
+@jax.jit
 def consensus(M: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Majority base per column; returns (codes [L] with gap-majority
     columns marked 5, and per-column support fraction)."""
