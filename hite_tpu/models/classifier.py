@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 # 28 Wicker superfamily labels (bin/NeuralTE/configs/config.py:58-63) and

@@ -9,15 +9,14 @@ with XLA inserting the all-reduces.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from hite_tpu.parallel.mesh import batch_sharding, param_sharding, replicated
+from hite_tpu.parallel.mesh import param_sharding, replicated
 
 
 def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

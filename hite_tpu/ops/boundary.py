@@ -14,7 +14,6 @@ Matrix codes: 0-3 bases, 4 N, 5 gap (see ops.msa).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Sequence, Tuple
 
 import jax

@@ -16,13 +16,12 @@ Everything is static-shape: vmap over a batch of segment pairs.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from hite_tpu.ops.kmer import INVALID_CODE, KmerIndex, lookup
+from hite_tpu.ops.kmer import KmerIndex, lookup
 
 INT32_MAX = jnp.int32(2**31 - 1)
 

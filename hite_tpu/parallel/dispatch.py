@@ -22,7 +22,7 @@ from hite_tpu.config import AlignConfig
 from hite_tpu.genome import Genome
 from hite_tpu.ops.kmer import KmerIndex
 from hite_tpu.pipeline.coarse import (
-    CoarseParams, PairAligner, _chains_to_intervals, get_pair_aligner,
+    CoarseParams, _chains_to_intervals, get_pair_aligner,
 )
 from hite_tpu.utils import intervals as iv
 from hite_tpu.utils.log import logger, stage_timer

@@ -28,7 +28,7 @@ from hite_tpu.genome import Genome
 from hite_tpu.ops import encode as enc
 from hite_tpu.ops.chain import Chains, chain_hsps
 from hite_tpu.ops.kmer import KmerIndex, build_index
-from hite_tpu.ops.seedext import pair_hsps, rc_to_forward
+from hite_tpu.ops.seedext import pair_hsps
 from hite_tpu.utils import intervals as iv
 from hite_tpu.utils.log import logger, stage_timer
 

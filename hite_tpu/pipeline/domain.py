@@ -25,7 +25,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from hite_tpu.config import PipelineConfig
 from hite_tpu.ops.chain import chain_hsps
 from hite_tpu.ops.kmer import build_index_from_kmers
 from hite_tpu.ops.protein import (

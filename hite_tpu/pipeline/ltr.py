@@ -40,10 +40,8 @@ from hite_tpu.ops.kmer import build_index
 from hite_tpu.ops.seedext import pair_hsps
 from hite_tpu.ops.tandem import tandem_fraction
 from hite_tpu.ops.terminal import batched_local_align
-from hite_tpu.ops.tsd import tsd_search
-from hite_tpu.pipeline.candidates import CandidateSet, pad_rows, pad_seqs
+from hite_tpu.pipeline.candidates import pad_rows, pad_seqs
 from hite_tpu.pipeline.copies import GenomeIndex
-from hite_tpu.utils import intervals as iv
 from hite_tpu.utils.log import logger, stage_timer
 
 

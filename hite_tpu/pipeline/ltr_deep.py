@@ -29,7 +29,7 @@ from hite_tpu.models.features import frame_image, kmer_frequencies
 from hite_tpu.models.ltr_filter import LTRFilterCNN, kmer_channels
 from hite_tpu.ops.boundary import adaptive_threshold, column_stats, search_boundary
 from hite_tpu.ops.msa import project_to_center
-from hite_tpu.pipeline.candidates import bucket_for, pad_rows, pad_seqs
+from hite_tpu.pipeline.candidates import pad_rows, pad_seqs
 from hite_tpu.pipeline.copies import CopyFinder, GenomeIndex
 from hite_tpu.pipeline.ltr import LTRRecord
 from hite_tpu.utils.log import logger, stage_timer
@@ -74,9 +74,6 @@ def both_ends_frame(
     M = project_to_center(jnp.asarray(center.astype(np.uint8)),
                           jnp.asarray(mat), jnp.asarray(lens))
     return np.asarray(M)
-
-
-import functools
 
 
 @jax.jit

@@ -22,7 +22,7 @@ from hite_tpu.genome import Genome
 from hite_tpu.ops.tail import tail_scan
 from hite_tpu.ops.tandem import tandem_fraction
 from hite_tpu.pipeline.boundary_adjust import FamilyAnalysis
-from hite_tpu.pipeline.candidates import CandidateSet, pad_rows, pad_seqs
+from hite_tpu.pipeline.candidates import pad_rows, pad_seqs
 from hite_tpu.pipeline.copies import GenomeIndex
 from hite_tpu.pipeline.verify import ModuleResult, empty_result, verify_families
 from hite_tpu.utils.log import logger, stage_timer

@@ -24,7 +24,6 @@ import numpy as np
 from hite_tpu.config import PipelineConfig
 from hite_tpu.genome import Genome
 from hite_tpu.io.fasta import write_fasta
-from hite_tpu.pipeline.annotate import annotate_genome
 from hite_tpu.pipeline.boundary_adjust import FamilyAnalysis, adjust_candidate
 from hite_tpu.pipeline.coarse import CoarseParams
 from hite_tpu.pipeline.copies import CopyFinder, CopyHit, GenomeIndex

@@ -13,7 +13,6 @@ boundary shifts (`judge_boundary_v5` TIR branch `Util.py:9356-9411`).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -26,9 +25,7 @@ from hite_tpu.ops.tandem import tandem_fraction
 from hite_tpu.ops.terminal import find_terminal_repeat
 from hite_tpu.ops.tsd import tsd_search
 from hite_tpu.pipeline.boundary_adjust import FamilyAnalysis
-from hite_tpu.pipeline.candidates import (
-    CandidateSet, bucket_iter, pad_rows, pad_seqs,
-)
+from hite_tpu.pipeline.candidates import bucket_iter, pad_rows, pad_seqs
 from hite_tpu.pipeline.copies import GenomeIndex
 from hite_tpu.pipeline.verify import ModuleResult, empty_result, verify_families
 from hite_tpu.utils.log import logger, stage_timer

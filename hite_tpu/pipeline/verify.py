@@ -20,7 +20,7 @@ from hite_tpu.pipeline.boundary_adjust import (
     AdjustResult, Judge, adjust_candidate,
 )
 from hite_tpu.pipeline.candidates import CandidateSet
-from hite_tpu.pipeline.cluster import cluster_by_copies, representatives
+from hite_tpu.pipeline.cluster import cluster_by_copies
 from hite_tpu.pipeline.copies import CopyFinder, GenomeIndex
 from hite_tpu.utils.log import logger, stage_timer
 
