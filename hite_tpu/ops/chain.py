@@ -111,3 +111,62 @@ def chain_hsps(
     take = lambda a: jnp.where(out_valid, a[jnp.clip(sel, 0, n)], 0)
     return Chains(qs=take(e_qs), qe=take(e_qe), ss=take(e_ss), se=take(e_se),
                   nseeds=take(e_n), valid=out_valid)
+
+
+def chain_hsps_host(
+    qs: "np.ndarray",
+    qe: "np.ndarray",
+    ss: "np.ndarray",
+    se: "np.ndarray",
+    *,
+    extend_threshold: int,
+    min_len: int = 80,
+) -> "np.ndarray":
+    """Exact FMEA greedy chaining on the host (numpy), multiple open chains.
+
+    Mirrors the reference's semantics more closely than the single-carry
+    device scan: HSPs are walked in query order and merged into ANY open
+    chain whose query gap and subject gap are both within
+    `extend_threshold` (the reference first clusters HSPs by subject gap,
+    then chains along the query — `Util.py:4176-4313`); interleaved copies
+    therefore chain independently instead of breaking each other.
+
+    Intended for the (small, compacted) HSP output of the global self-join
+    kernel, where chaining on-device would need a long sequential scan.
+    Returns int64 [C, 4] chains as (qs, qe, ss, se).
+    """
+    import numpy as np
+
+    if len(qs) == 0:
+        return np.zeros((0, 4), dtype=np.int64)
+    order = np.argsort(qs, kind="stable")
+    qs, qe, ss, se = (np.asarray(a, dtype=np.int64)[order]
+                      for a in (qs, qe, ss, se))
+    T = int(extend_threshold)
+    closed: list = []
+    # open chains as parallel python lists (few survive pruning at a time)
+    o_qs: list = []
+    o_qe: list = []
+    o_ss: list = []
+    o_se: list = []
+    for i in range(len(qs)):
+        x_qs, x_qe, x_ss, x_se = qs[i], qe[i], ss[i], se[i]
+        merged = False
+        j = 0
+        while j < len(o_qs):
+            if x_qs - o_qe[j] > T:           # too far behind: close it
+                closed.append((o_qs[j], o_qe[j], o_ss[j], o_se[j]))
+                o_qs.pop(j); o_qe.pop(j); o_ss.pop(j); o_se.pop(j)
+                continue
+            if (not merged and abs(x_ss - o_se[j]) <= T and x_se >= o_ss[j]):
+                o_qe[j] = max(o_qe[j], x_qe)
+                o_ss[j] = min(o_ss[j], x_ss)
+                o_se[j] = max(o_se[j], x_se)
+                merged = True
+            j += 1
+        if not merged:
+            o_qs.append(x_qs); o_qe.append(x_qe)
+            o_ss.append(x_ss); o_se.append(x_se)
+    closed.extend(zip(o_qs, o_qe, o_ss, o_se))
+    out = np.array(closed, dtype=np.int64).reshape(-1, 4)
+    return out[(out[:, 1] - out[:, 0]) >= min_len]

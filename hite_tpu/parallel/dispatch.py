@@ -22,9 +22,8 @@ from hite_tpu.config import AlignConfig
 from hite_tpu.genome import Genome
 from hite_tpu.ops.kmer import KmerIndex
 from hite_tpu.pipeline.coarse import (
-    CoarseParams, _chains_to_intervals, get_pair_aligner,
+    CoarseParams, _chains_to_intervals, _dedup_intervals, get_pair_aligner,
 )
-from hite_tpu.utils import intervals as iv
 from hite_tpu.utils.log import logger, stage_timer
 
 
@@ -111,18 +110,5 @@ def coarse_discover_sharded(
                 chunk, p.seg_len, p.seg_len - cfg.kmer_size + 1))
 
     intervals = (np.concatenate(cand) if cand else np.zeros((0, 2), np.int64))
-    if len(intervals) == 0:
-        return intervals
-    lens = intervals[:, 1] - intervals[:, 0]
-    keep = (lens >= min_repeat_len) & (lens < max_repeat_len)
-    intervals = intervals[keep]
-    intervals, _ = iv.dedup(intervals, q=cfg.round_coord_bp)
-    groups = iv.mutual_overlap_groups(intervals, frac=cfg.merge_overlap)
-    lens = intervals[:, 1] - intervals[:, 0]
-    best: dict = {}
-    for i, g in enumerate(groups):
-        if g not in best or lens[i] > lens[best[g]]:
-            best[g] = i
-    intervals = intervals[sorted(best.values())]
-    ok = genome.in_contig(intervals[:, 0], intervals[:, 1])
-    return intervals[ok]
+    return _dedup_intervals(intervals, genome, cfg,
+                            min_repeat_len, max_repeat_len)

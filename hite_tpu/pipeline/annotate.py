@@ -27,10 +27,16 @@ def annotate_genome(
     cfg: PipelineConfig,
     gindex: Optional[GenomeIndex] = None,
     min_hit_fraction: float = 0.3,
+    mesh=None,
 ) -> List[AnnotationHit]:
-    """Map library entries onto the genome; returns per-locus hits."""
+    """Map library entries onto the genome; returns per-locus hits.
+
+    With `mesh`, the library batch axis is sharded over the device mesh —
+    the TPU equivalent of the reference's chunked parallel annotation
+    (`parallel_annotate.nf:9-86`), with identical results.
+    """
     gindex = gindex or GenomeIndex(genome, cfg.align)
-    finder = CopyFinder(gindex, max_chains=256)
+    finder = CopyFinder(gindex, max_chains=256, mesh=mesh)
     names = list(library.keys())
     seqs = [library[n] for n in names]
 

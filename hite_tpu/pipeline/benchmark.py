@@ -23,6 +23,48 @@ from hite_tpu.utils import intervals as iv
 from hite_tpu.utils.log import logger
 
 
+# Species -> curated Repbase-derived library filename, as shipped by the
+# reference (`module/benchmarking.py:176-206`).  The libraries themselves are
+# Repbase data and are NOT vendored; callers point `library_dir` at a
+# directory containing them (e.g. the reference checkout's `library/`).
+SPECIES_LIBS: Dict[str, str] = {
+    "dmel": "drorep.ref",
+    "rice": "oryrep.ref",
+    "cb": "cbrrep.ref",
+    "zebrafish": "zebrep.no_ltr.ref",
+    "maize": "maize.ref",
+    "ath": "athrep.ref",
+    "xentr": "xentr.ref",
+    "chicken": "chicken.ref",
+    "zebrafinch": "zebrafinch.ref",
+    "mouse": "mouse.ref",
+    "human": "human.ref",
+    "test": "test.ref",
+}
+
+
+def species_library_path(species: str,
+                         library_dir: Optional[str] = None) -> Optional[str]:
+    """Resolve a --species name to its curated library FASTA path.
+
+    Returns None when the species is unknown or the file is absent; direct
+    file paths pass through unchanged (reference benchmarking.py registry).
+    """
+    import os
+
+    if os.path.exists(species):
+        return species
+    fname = SPECIES_LIBS.get(species)
+    if fname is None:
+        return None
+    for base in filter(None, (library_dir,
+                              os.environ.get("HITE_TPU_LIBRARY_DIR"))):
+        cand = os.path.join(base, fname)
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
 def _hits_to_flat_intervals(genome: Genome, hits) -> np.ndarray:
     out = []
     name_to_start = {n: int(s) for n, s in zip(genome.names, genome.starts)}

@@ -46,6 +46,12 @@ class CoarseParams:
     max_hsps: int = 2048
     max_chains: int = 512
     pair_batch: int = 16
+    # discovery strategy: "selfjoin" = one whole-genome k-mer sort, seed
+    # pairs as run neighbors (gather-free, O(N*window)); "pairs" = the
+    # segment-pair grid (used by the mesh-sharded dispatch path)
+    strategy: str = "selfjoin"
+    window: int = 4               # selfjoin: pair each entry with <=W run neighbors
+    max_hsps_global: int = 32_768
 
 
 @functools.lru_cache(maxsize=32)
@@ -150,6 +156,55 @@ def _chains_to_intervals(
     return np.concatenate(out).astype(np.int64)
 
 
+def _selfjoin_intervals(
+    genome: Genome, cfg: AlignConfig, p: CoarseParams, use_masked: bool
+) -> np.ndarray:
+    """Candidate intervals via the whole-genome self-join kernel."""
+    from hite_tpu.io.fasta import CODE_N
+    from hite_tpu.ops.chain import chain_hsps_host
+    from hite_tpu.ops.selfjoin import selfjoin_hsps
+
+    src = (genome.masked if (use_masked and genome.masked is not None)
+           else genome.flat)
+    L = len(src)
+    Lp = max(65_536, 1 << (L - 1).bit_length())   # pow2 pad bounds recompiles
+    flat = np.full(Lp, CODE_N, dtype=np.uint8)
+    flat[:L] = src
+
+    with stage_timer("coarse.selfjoin"):
+        hs = selfjoin_hsps(
+            jnp.asarray(flat), k=cfg.kmer_size, window=p.window,
+            diag_band=p.diag_band, run_gap=p.run_gap, min_seeds=p.min_seeds,
+            min_hsp_len=cfg.min_hsp_len, max_hsps=p.max_hsps_global)
+        valid = np.asarray(hs.valid)
+        qs, qe, ss, se = (np.asarray(a)[valid]
+                          for a in (hs.qs, hs.qe, hs.ss, hs.se))
+
+    with stage_timer("coarse.chain"):
+        out: List[np.ndarray] = []
+        # chain forward-subject and rc-subject HSPs separately (virtual
+        # subject coordinate spaces must never merge across the Lp boundary)
+        for m, is_rc in ((ss < Lp, False), (ss >= Lp, True)):
+            if not m.any():
+                continue
+            chains = chain_hsps_host(
+                qs[m], qe[m], ss[m], se[m],
+                extend_threshold=cfg.fixed_extend_base_threshold, min_len=80)
+            if not len(chains):
+                continue
+            out.append(chains[:, 0:2])
+            s_iv = chains[:, 2:4]
+            if is_rc:
+                # subject in revcomp virtual space [Lp, 2Lp):
+                # forward span = (2Lp - se, 2Lp - ss)
+                s_iv = np.stack([2 * Lp - s_iv[:, 1], 2 * Lp - s_iv[:, 0]],
+                                axis=1)
+            out.append(s_iv)
+    if not out:
+        return np.zeros((0, 2), dtype=np.int64)
+    return np.concatenate(out).astype(np.int64)
+
+
 def coarse_discover(
     genome: Genome,
     cfg: AlignConfig,
@@ -163,6 +218,10 @@ def coarse_discover(
     Returns int64 [N, 2] deduplicated candidate intervals.
     """
     p = params or CoarseParams()
+    if p.strategy == "selfjoin":
+        intervals = _selfjoin_intervals(genome, cfg, p, use_masked)
+        return _dedup_intervals(intervals, genome, cfg,
+                                min_repeat_len, max_repeat_len)
     segs = genome.segment_view(p.seg_len, use_masked=use_masked)
     n_segs = segs.shape[0]
     aligner = get_pair_aligner(cfg, p)
@@ -196,6 +255,19 @@ def coarse_discover(
                 batch, p.seg_len, p.seg_len - cfg.kmer_size + 1))
 
     intervals = (np.concatenate(cand) if cand else np.zeros((0, 2), np.int64))
+    return _dedup_intervals(intervals, genome, cfg,
+                            min_repeat_len, max_repeat_len)
+
+
+def _dedup_intervals(
+    intervals: np.ndarray,
+    genome: Genome,
+    cfg: AlignConfig,
+    min_repeat_len: int,
+    max_repeat_len: int,
+) -> np.ndarray:
+    """Shared candidate dedup tail: length gate, 10bp-rounded dedup,
+    >=95%-mutual-overlap merge, contig containment (`Util.py:4344-4395`)."""
     if len(intervals) == 0:
         return intervals
 

@@ -86,16 +86,57 @@ def _cached_map_batch(cfg: AlignConfig, stride: int, max_hits: int,
     return _map_batch
 
 
+# mesh-sharded map-batch executables, keyed by (kernel geometry, mesh);
+# plain dict because Mesh hashability is not guaranteed across versions
+_SHARDED_MAP_CACHE: dict = {}
+
+
+def _cached_map_batch_sharded(cfg: AlignConfig, stride: int, max_hits: int,
+                              diag_band: int, run_gap: int, min_seeds: int,
+                              max_hsps: int, max_chains: int, mesh):
+    """Like `_cached_map_batch` but with the candidate batch axis sharded
+    over every mesh axis (GSPMD data parallelism — the TPU equivalent of
+    the reference's `parallel_annotate.nf` chunk fan-out)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = (cfg, stride, max_hits, diag_band, run_gap, min_seeds,
+           max_hsps, max_chains, id(mesh))
+    if key in _SHARDED_MAP_CACHE:
+        return _SHARDED_MAP_CACHE[key]
+    base = _cached_map_batch(cfg, stride, max_hits, diag_band, run_gap,
+                             min_seeds, max_hsps, max_chains)
+    repl = NamedSharding(mesh, P())
+    shard_b = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    fn = jax.jit(
+        base.__wrapped__ if hasattr(base, "__wrapped__") else base,
+        in_shardings=(shard_b, repl, repl, repl, repl, repl, repl))
+    _SHARDED_MAP_CACHE[key] = fn
+    return fn
+
+
 class CopyFinder:
-    """Batched candidate -> genome copy mapping."""
+    """Batched candidate -> genome copy mapping.
+
+    With `mesh`, the candidate batch axis is sharded over all mesh devices
+    (annotation/copy retrieval data parallelism); results are identical to
+    the single-device path.
+    """
 
     def __init__(self, index: GenomeIndex, *, stride: int = 1, max_hits: int = 8,
                  diag_band: int = 32, run_gap: int = 96, min_seeds: int = 4,
-                 max_hsps: int = 1024, max_chains: int = 128):
+                 max_hsps: int = 1024, max_chains: int = 128, mesh=None):
         self.index = index
-        self._map_batch = _cached_map_batch(
-            index.cfg, stride, max_hits, diag_band, run_gap, min_seeds,
-            max_hsps, max_chains)
+        self.mesh = mesh
+        if mesh is not None:
+            self._map_batch = _cached_map_batch_sharded(
+                index.cfg, stride, max_hits, diag_band, run_gap, min_seeds,
+                max_hsps, max_chains, mesh)
+            self._batch_multiple = mesh.devices.size
+        else:
+            self._map_batch = _cached_map_batch(
+                index.cfg, stride, max_hits, diag_band, run_gap, min_seeds,
+                max_hsps, max_chains)
+            self._batch_multiple = 1
 
     def find_copies(
         self,
@@ -112,7 +153,10 @@ class CopyFinder:
         if not cand_seqs:
             return out
         from hite_tpu.pipeline.candidates import pad_rows
-        mat, lens = pad_seqs(cand_seqs, n_rows=pad_rows(len(cand_seqs)))
+        n_rows = pad_rows(len(cand_seqs), min_rows=max(4, self._batch_multiple))
+        m = self._batch_multiple
+        n_rows = ((n_rows + m - 1) // m) * m
+        mat, lens = pad_seqs(cand_seqs, n_rows=n_rows)
         cand_kms = enc.kmer_codes(jnp.asarray(mat), cfg.kmer_size)
 
         lens_f = np.maximum(lens[: len(cand_seqs)].astype(np.float64), 1)

@@ -60,12 +60,20 @@ def run_pan_pipeline(
     params = coarse_params or CoarseParams()
 
     # stage 1: independent per-genome runs (the reference fans these out as
-    # Nextflow processes; on a multi-host TPU deployment each host takes a
-    # genome — the runs share no state)
-    per_genome: Dict[str, RunResult] = {}
-    for name, g in genomes.items():
+    # Nextflow processes over a shared filesystem, `panHiTE.nf:94-129`).
+    # Under jax.distributed each host takes every process_count()-th genome
+    # and the RunResults are exchanged with one DCN all-gather — no files.
+    from hite_tpu.parallel import multihost as mh
+
+    my_names = mh.partition(list(genomes.keys()))
+    local_results: Dict[str, RunResult] = {}
+    for name in my_names:
         with stage_timer(f"pan.run.{name}"):
-            per_genome[name] = run_pipeline(g, cfg, coarse_params=params)
+            local_results[name] = run_pipeline(genomes[name], cfg,
+                                               coarse_params=params)
+    per_genome = mh.merge_dicts(mh.allgather_obj(local_results))
+    # deterministic genome order on every host
+    per_genome = {n: per_genome[n] for n in genomes if n in per_genome}
 
     # stage 2: merged non-redundant pan library
     with stage_timer("pan.merge_lib"):
@@ -104,12 +112,16 @@ def run_pan_pipeline(
                         low_items.append((gname, int(s), int(e), cand))
 
         if low_items:
-            # per-genome batched mapping of every low-copy candidate
-            per_genome_hits: Dict[str, List[List[CopyHit]]] = {}
-            for oname in genomes:
-                per_genome_hits[oname] = finders[oname].find_copies(
+            # per-genome batched mapping of every low-copy candidate; each
+            # host maps against its genome partition, then hit lists are
+            # all-gathered (cross-genome copy retrieval is the natural
+            # all-gather point, SURVEY.md §7 "hard parts")
+            my_hits: Dict[str, List[List[CopyHit]]] = {}
+            for oname in mh.partition(list(genomes.keys())):
+                my_hits[oname] = finders[oname].find_copies(
                     [it[3] for it in low_items], min_coverage=0.9,
                     max_copies=cfg.msa.max_copies)
+            per_genome_hits = mh.merge_dicts(mh.allgather_obj(my_hits))
             for li, (gname, s, e, cand) in enumerate(low_items):
                 total = sum(len(per_genome_hits[o][li]) for o in genomes)
                 if total < min_pan_copies:
@@ -138,13 +150,19 @@ def run_pan_pipeline(
     pav = np.zeros((len(fam_names), len(genomes)), np.int32)
     occ_cov = max(0.8, cfg.library.full_length_cov - 0.1)
     with stage_timer("pan.occupancy"):
-        for gj, (gname, g) in enumerate(genomes.items()):
+        # each host maps the pan library onto its partition of genomes;
+        # columns are exchanged with the same all-gather as stage 1
+        gnames = list(genomes.keys())
+        my_cols: Dict[str, np.ndarray] = {}
+        for gname in mh.partition(gnames):
             counts = finders[gname].find_copies(
                 [pan_lib[f] for f in fam_names],
                 min_coverage=occ_cov,
                 max_copies=cfg.msa.max_copies)
-            for fi, hits in enumerate(counts):
-                pav[fi, gj] = len(hits)
+            my_cols[gname] = np.array([len(h) for h in counts], np.int32)
+        all_cols = mh.merge_dicts(mh.allgather_obj(my_cols))
+        for gj, gname in enumerate(gnames):
+            pav[:, gj] = all_cols[gname]
 
     occupancy = {f: int((pav[i] > 0).sum()) for i, f in enumerate(fam_names)}
     n = len(genomes)

@@ -264,8 +264,12 @@ def gold_lib_path(cfg: PipelineConfig) -> Optional[str]:
     benchmarking.py:176-206 registry; only `test` ships with the repo)."""
     if not (cfg.bm_hite or cfg.bm_rm2):
         return None
-    if cfg.species_lib and os.path.exists(cfg.species_lib):
-        return cfg.species_lib
+    if cfg.species_lib:
+        from hite_tpu.pipeline.benchmark import species_library_path
+
+        resolved = species_library_path(cfg.species_lib)
+        if resolved:
+            return resolved
     fallback = os.path.join(DATA_DIR, "test.ref")
     return fallback if os.path.exists(fallback) else None
 

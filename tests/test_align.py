@@ -89,3 +89,94 @@ def test_coarse_discover_synthetic():
     total_cand = iv.total_length(cands)
     total_te = iv.total_length(planted)
     assert total_cand < 3 * total_te + 2000
+
+
+def test_selfjoin_hsps_finds_repeat_pairs():
+    """Direct + inverted repeat pairs come out of the global self-join."""
+    from hite_tpu.ops.selfjoin import selfjoin_hsps
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 4, size=8192).astype(np.uint8)
+    repeat = rng.integers(0, 4, size=400).astype(np.uint8)
+    g[1000:1400] = repeat
+    g[5000:5400] = repeat
+    # inverted copy of an independent element
+    elem = rng.integers(0, 4, size=300).astype(np.uint8)
+    g[2000:2300] = elem
+    g[6500:6800] = np.asarray(enc.revcomp(jnp.asarray(elem)))
+    L = len(g)
+    hs = selfjoin_hsps(jnp.asarray(g), k=12, window=4, diag_band=32,
+                       run_gap=96, min_seeds=4, min_hsp_len=30,
+                       max_hsps=256)
+    valid = np.asarray(hs.valid)
+    qs = np.asarray(hs.qs)[valid]
+    qe = np.asarray(hs.qe)[valid]
+    ss = np.asarray(hs.ss)[valid]
+    se = np.asarray(hs.se)[valid]
+    # forward pair: q in [1000,1400), s in [5000,5400) forward coords
+    fwd = (ss < L)
+    hit = (qs >= 980) & (qe <= 1420) & fwd & (ss >= 4980) & (se <= 5420)
+    assert hit.any()
+    assert (qe[hit].max() - qs[hit].min()) >= 300
+    # inverted pair: subject in rc virtual space; map back
+    rc = ~fwd
+    fs = 2 * L - se[rc]
+    fe = 2 * L - ss[rc]
+    inv_hit = (qs[rc] >= 1980) & (qe[rc] <= 2320) & (fs >= 6480) & (fe <= 6820)
+    assert inv_hit.any()
+
+
+def test_selfjoin_masked_regions_do_not_seed():
+    from hite_tpu.ops.selfjoin import selfjoin_hsps
+
+    rng = np.random.default_rng(6)
+    g = rng.integers(0, 4, size=4096).astype(np.uint8)
+    repeat = rng.integers(0, 4, size=300).astype(np.uint8)
+    g[500:800] = repeat
+    g[2000:2300] = repeat
+    g_masked = g.copy()
+    g_masked[450:850] = 4   # N-mask the first copy
+    hs = selfjoin_hsps(jnp.asarray(g_masked), k=12, window=4, diag_band=32,
+                       run_gap=96, min_seeds=4, min_hsp_len=30, max_hsps=128)
+    valid = np.asarray(hs.valid)
+    qs = np.asarray(hs.qs)[valid]
+    qe = np.asarray(hs.qe)[valid]
+    # nothing may seed inside the masked window
+    assert not ((qs < 850) & (qe > 450)).any()
+
+
+def test_chain_hsps_host_interleaved_copies():
+    """Interleaved subject copies chain independently (multi-open-chain)."""
+    from hite_tpu.ops.chain import chain_hsps_host
+
+    # one query region aligning to two subject copies, HSPs interleaved in
+    # query order: (q0->sA, q0'->sB, q1->sA, q1'->sB)
+    qs = np.array([100, 150, 600, 650])
+    qe = np.array([400, 450, 900, 950])
+    ss = np.array([10_000, 50_000, 10_500, 50_500])
+    se = np.array([10_300, 50_300, 10_800, 50_800])
+    chains = chain_hsps_host(qs, qe, ss, se, extend_threshold=1000,
+                             min_len=80)
+    assert len(chains) == 2
+    chains = chains[np.argsort(chains[:, 2])]
+    assert tuple(chains[0]) == (100, 900, 10_000, 10_800)
+    assert tuple(chains[1]) == (150, 950, 50_000, 50_800)
+    # tight threshold: nothing merges -> 4 chains
+    chains2 = chain_hsps_host(qs, qe, ss, se, extend_threshold=50,
+                              min_len=80)
+    assert len(chains2) == 4
+
+
+def test_coarse_selfjoin_matches_pairgrid_recall():
+    rng = np.random.default_rng(11)
+    te = "".join("ACGT"[c] for c in rng.integers(0, 4, size=700))
+    genome, ins = synthetic_genome(80_000, [te], [6], seed=4,
+                                   mutation_rate=0.03)
+    cfg = AlignConfig(fixed_extend_base_threshold=2000)
+    planted = np.array([[s, e] for _, s, e in ins])
+    cands = coarse_discover(
+        genome, cfg, CoarseParams(strategy="selfjoin"), use_masked=False)
+    cov = iv.coverage_fraction(planted, cands)
+    assert (cov > 0.8).all(), cov
+    total_cand = iv.total_length(cands)
+    assert total_cand < 3 * iv.total_length(planted) + 2000

@@ -18,7 +18,7 @@ def test_sharded_matches_single_device():
     genome, ins = synthetic_genome(120_000, [te], [8], seed=3,
                                    mutation_rate=0.02)
     cfg = AlignConfig(fixed_extend_base_threshold=2000)
-    params = CoarseParams(seg_len=16_384, pair_batch=8)
+    params = CoarseParams(seg_len=16_384, pair_batch=8, strategy="pairs")
 
     single = coarse_discover(genome, cfg, params)
     mesh = make_mesh(n_devices=8)
@@ -34,9 +34,34 @@ def test_sharded_different_mesh_shapes():
     te = "".join("ACGT"[c] for c in rng.integers(0, 4, size=500))
     genome, _ = synthetic_genome(60_000, [te], [5], seed=4, mutation_rate=0.02)
     cfg = AlignConfig(fixed_extend_base_threshold=2000)
-    params = CoarseParams(seg_len=16_384, pair_batch=8)
+    params = CoarseParams(seg_len=16_384, pair_batch=8, strategy="pairs")
     ref = coarse_discover(genome, cfg, params)
     for dp, tp in ((4, 2), (2, 2)):
         mesh = make_mesh(n_devices=dp * tp, dp=dp, tp=tp)
         got = coarse_discover_sharded(genome, cfg, mesh, params)
         assert np.array_equal(np.sort(got, axis=0), np.sort(ref, axis=0))
+
+
+def test_sharded_annotation_matches_single_device():
+    """Library-batch sharded annotation == single-device annotation."""
+    from hite_tpu.config import PipelineConfig
+    from hite_tpu.pipeline.annotate import annotate_genome
+
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(9)
+    tes = ["".join("ACGT"[c] for c in rng.integers(0, 4, size=n))
+           for n in (400, 700)]
+    genome, _ = synthetic_genome(80_000, tes, [5, 4], seed=5,
+                                 mutation_rate=0.02)
+    cfg = PipelineConfig()
+    lib = {f"TE_{i}#Unknown": np.asarray(
+        [{"A": 0, "C": 1, "G": 2, "T": 3}[ch] for ch in te], np.uint8)
+        for i, te in enumerate(tes)}
+
+    single = annotate_genome(genome, lib, cfg)
+    mesh = make_mesh(n_devices=8)
+    sharded = annotate_genome(genome, lib, cfg, mesh=mesh)
+
+    key = lambda h: (h.contig, h.start, h.end, h.strand, h.family)
+    assert sorted(map(key, sharded)) == sorted(map(key, single))
+    assert len(single) >= 9
