@@ -109,6 +109,125 @@ def cluster_seqs(
     return labels, reps
 
 
+def subcluster_members(
+    member_seqs: Sequence[np.ndarray],
+    *,
+    k: int = 4,
+    dist_threshold: float = 0.25,
+) -> List[List[int]]:
+    """Split one coverage-cluster into k-mer-distance sub-clusters.
+
+    TPU-native stand-in for the per-cluster Ninja tree clustering of
+    `deredundant_for_LTR_v5` (`generate_cons_v1`/`read_Ninja_clusters`,
+    `Util.py:12457-12515`): members get batched 4-mer frequency vectors
+    (one device op) and are grouped by single-linkage connected components
+    at a cosine-distance threshold — coverage clustering lumps entries
+    that align end-to-end regardless of identity; this recovers the
+    identity sub-structure so each sub-family gets its own consensus.
+
+    Returns lists of indices into `member_seqs`, largest first.
+    """
+    import jax.numpy as jnp
+
+    from hite_tpu.models.features import kmer_frequencies
+    from hite_tpu.pipeline.candidates import pad_rows, pad_seqs
+
+    n = len(member_seqs)
+    if n <= 1:
+        return [list(range(n))]
+    mat, lens = pad_seqs(member_seqs, n_rows=pad_rows(n))
+    freqs = np.asarray(kmer_frequencies(jnp.asarray(mat), jnp.asarray(lens),
+                                        k))[:n]
+    norm = np.linalg.norm(freqs, axis=1, keepdims=True)
+    unit = freqs / np.maximum(norm, 1e-9)
+    dist = 1.0 - unit @ unit.T                      # cosine distance [n, n]
+    adj = dist <= dist_threshold
+    # single-linkage components via union-find
+    parent = np.arange(n)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if adj[i, j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[ri] = rj
+    groups: Dict[int, List[int]] = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+    return sorted(groups.values(), key=len, reverse=True)
+
+
+def _star_consensus(center: np.ndarray, member_seqs: List[np.ndarray]
+                    ) -> np.ndarray:
+    """Majority consensus of members projected onto `center`."""
+    import jax.numpy as jnp
+
+    from hite_tpu.ops.boundary import consensus as col_consensus
+    from hite_tpu.ops.msa import project_to_center
+    from hite_tpu.pipeline.candidates import bucket_for, pad_rows, pad_seqs
+
+    width = bucket_for(len(center))
+    mat, lens = pad_seqs(member_seqs, width, n_rows=pad_rows(len(member_seqs)))
+    c_pad = np.full(width, 4, np.uint8)
+    c_pad[: len(center)] = center
+    M = project_to_center(jnp.asarray(c_pad), jnp.asarray(mat),
+                          jnp.asarray(lens))
+    cons, _sup = col_consensus(M)
+    cons = np.asarray(cons)[: len(center)]
+    cons = cons[cons < 4]
+    return cons.astype(np.uint8) if len(cons) >= 0.5 * len(center) else center
+
+
+def cluster_consensi(
+    seqs: Sequence[np.ndarray],
+    labels: np.ndarray,
+    reps: Sequence[int],
+    min_members: int = 3,
+    max_members: int = 50,
+    subcluster: bool = True,
+) -> Dict[int, List[np.ndarray]]:
+    """Per-cluster consensus list via sub-clustering + anchor-projection MSA.
+
+    The full `deredundant_for_LTR_v5` consensus stage (`generate_cons_v1`
+    `Util.py:12457-12498`): each coverage-cluster is split into k-mer
+    sub-clusters (Ninja-tree equivalent, `subcluster_members`); every
+    sub-cluster with >= min_members yields a column-majority consensus,
+    singleton/small sub-clusters yield their longest raw member.  Returns
+    {rep_index: [consensus codes, ...]} — first entry is the sub-cluster
+    containing the representative.
+    """
+    out: Dict[int, List[np.ndarray]] = {}
+    for rep in reps:
+        members = [i for i in range(len(seqs)) if labels[i] == rep]
+        if len(members) < min_members:
+            out[rep] = [seqs[rep]]
+            continue
+        members = members[:max_members]
+        groups = (subcluster_members([seqs[i] for i in members])
+                  if subcluster else [list(range(len(members)))])
+        rep_local = members.index(rep) if rep in members else 0
+        # sub-cluster containing the representative goes first
+        groups.sort(key=lambda g: rep_local not in g)
+        consensi: List[np.ndarray] = []
+        for g in groups:
+            g_idx = [members[i] for i in g]
+            if len(g_idx) < min_members:
+                longest = max(g_idx, key=lambda i: len(seqs[i]))
+                consensi.append(seqs[longest])
+                continue
+            center_i = max(g_idx, key=lambda i: len(seqs[i]))
+            consensi.append(_star_consensus(
+                seqs[center_i], [seqs[i] for i in g_idx]))
+        out[rep] = consensi
+    return out
+
+
 def cluster_consensus(
     seqs: Sequence[np.ndarray],
     labels: np.ndarray,
@@ -116,40 +235,10 @@ def cluster_consensus(
     min_members: int = 3,
     max_members: int = 50,
 ) -> Dict[int, np.ndarray]:
-    """Per-cluster majority consensus via the anchor-projection MSA.
-
-    Replaces the Ninja-tree + mafft consensus of `deredundant_for_LTR_v5`
-    (`generate_cons_v1` `Util.py:12457-12498`): clusters with enough
-    members get a column-majority consensus instead of the raw
-    representative sequence.  Returns {rep_index: consensus codes}.
-    """
-    import jax.numpy as jnp
-
-    from hite_tpu.ops.boundary import consensus as col_consensus
-    from hite_tpu.ops.msa import project_to_center
-    from hite_tpu.pipeline.candidates import bucket_for, pad_rows, pad_seqs
-
-    out: Dict[int, np.ndarray] = {}
-    for rep in reps:
-        members = [i for i in range(len(seqs)) if labels[i] == rep]
-        if len(members) < min_members:
-            out[rep] = seqs[rep]
-            continue
-        members = members[:max_members]
-        center = seqs[rep]
-        width = bucket_for(len(center))
-        mat, lens = pad_seqs([seqs[i] for i in members], width,
-                             n_rows=pad_rows(len(members)))
-        c_pad = np.full(width, 4, np.uint8)
-        c_pad[: len(center)] = center
-        M = project_to_center(jnp.asarray(c_pad), jnp.asarray(mat),
-                              jnp.asarray(lens))
-        cons, _sup = col_consensus(M)
-        cons = np.asarray(cons)[: len(center)]
-        cons = cons[cons < 4]
-        out[rep] = cons.astype(np.uint8) if len(cons) >= 0.5 * len(center) \
-            else seqs[rep]
-    return out
+    """One consensus per cluster (the representative's sub-cluster)."""
+    multi = cluster_consensi(seqs, labels, reps, min_members=min_members,
+                             max_members=max_members)
+    return {rep: cons[0] for rep, cons in multi.items()}
 
 
 def remove_nested(

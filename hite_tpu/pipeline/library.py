@@ -41,16 +41,22 @@ def _cluster_and_name(
 ) -> Dict[str, np.ndarray]:
     if not seqs:
         return {}
-    from hite_tpu.pipeline.libcluster import cluster_consensus
+    from hite_tpu.pipeline.libcluster import cluster_consensi
 
     lab, reps = cluster_seqs(seqs, cfg.align,
                              identity=cfg.library.cluster_identity,
                              coverage=cfg.library.cluster_cov_short)
-    cons = cluster_consensus(seqs, lab, reps) if polish else {}
+    cons = cluster_consensi(seqs, lab, reps) if polish else {}
     out = {}
-    for n, r in enumerate(reps):
+    n = 0
+    for r in reps:
         cls = labels[r] if labels is not None else te_class
-        out[f"{prefix}_{n}#{cls}"] = cons.get(r, seqs[r])
+        # one entry per k-mer sub-cluster consensus (Ninja-tree equivalent,
+        # `generate_cons_v1` Util.py:12457-12498) — divergent sub-families
+        # lumped by coverage each keep their own consensus
+        for c in cons.get(r, [seqs[r]]):
+            out[f"{prefix}_{n}#{cls}"] = c
+            n += 1
     return out
 
 

@@ -39,6 +39,52 @@ def test_cluster_seqs_groups_variants(cfg):
     assert labels[0] != labels[3]
 
 
+def test_subcluster_members_splits_families():
+    from hite_tpu.pipeline.libcluster import subcluster_members
+
+    rng = np.random.default_rng(7)
+    fam_a = _rand(rng, 600)
+    fam_b = _rand(rng, 600)
+
+    def mutate(s, rate=0.03):
+        c = s.copy()
+        m = rng.random(len(c)) < rate
+        c[m] = rng.integers(0, 4, m.sum())
+        return c
+
+    members = [fam_a, mutate(fam_a), mutate(fam_a),
+               fam_b, mutate(fam_b), mutate(fam_b)]
+    groups = subcluster_members(members)
+    assert len(groups) == 2
+    sets = sorted(sorted(g) for g in groups)
+    assert sets == [[0, 1, 2], [3, 4, 5]]
+    # a single family stays one group
+    assert len(subcluster_members(members[:3])) == 1
+
+
+def test_cluster_consensi_recovers_consensus():
+    """Sub-cluster consensus corrects member mutations back to the family."""
+    from hite_tpu.pipeline.libcluster import cluster_consensi
+
+    rng = np.random.default_rng(8)
+    fam = _rand(rng, 500)
+
+    def mutate(s, rate=0.04):
+        c = s.copy()
+        m = rng.random(len(c)) < rate
+        c[m] = (c[m] + rng.integers(1, 4, m.sum())) % 4
+        return c
+
+    seqs = [fam, mutate(fam), mutate(fam), mutate(fam), mutate(fam)]
+    labels = np.zeros(5, np.int64)
+    cons = cluster_consensi(seqs, labels, [0])
+    assert len(cons[0]) == 1
+    c = cons[0][0]
+    n = min(len(c), len(fam))
+    ident = (c[:n] == fam[:n]).mean()
+    assert ident > 0.97, ident
+
+
 def test_remove_nested(cfg):
     rng = np.random.default_rng(1)
     inner = _rand(rng, 400)
