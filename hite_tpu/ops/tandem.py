@@ -6,11 +6,18 @@ short-period tandem arrays to (a) mask the genome before coarse repeat
 discovery (`filter_tandem_repeats`, `Util.py:4672-4697`) and (b) reject
 candidates that are mostly tandem (`tandem_region_cutoff` 0.5).
 
-TPU-native design: positionwise self-match `seq[i] == seq[i-p]` for each
-period p, box-filtered; a position is "tandem" when any period's local
-match density exceeds the threshold.  Periods up to `max_period` cover the
-micro/minisatellites that dominate TRF's masking in practice; longer-period
-tandems are still caught by the coarse self-alignment chains.
+TPU-native design, two complementary kernels:
+
+* short periods (p <= `max_period`, default 16): positionwise self-match
+  `seq[i] == seq[i-p]` for each period p, box-filtered; a position is
+  "tandem" when any period's local match density exceeds the threshold.
+  Covers the micro/minisatellites that dominate TRF's masking in practice.
+* long periods (up to TRF's maxperiod 500, `long_tandem_mask`): one stable
+  code sort of all k-mers — a position is "periodic" when its k-mer's
+  nearest other occurrence lies within `max_period` bp, and a run of
+  densely periodic positions is a tandem array.  Zero gathers: the only
+  non-elementwise ops are the sort and two sized scatters back to genome
+  order (the same formulation as `ops.selfjoin`).
 """
 
 from __future__ import annotations
@@ -19,6 +26,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from hite_tpu.ops.encode import kmer_codes
+
+_INT32_MAX = jnp.int32(2**31 - 1)
 
 
 def _box_density(x: jnp.ndarray, window: int) -> jnp.ndarray:
@@ -52,6 +63,57 @@ def tandem_mask(
         dens = _box_density(eq_full, max(window, 2 * p))
         out = out | (dens >= density)
     return out
+
+
+def _long_mask_1d(flat: jnp.ndarray, k: int, max_period: int,
+                  density: float, window: int) -> jnp.ndarray:
+    """Long-period tandem mask over one [L] code row (see module doc)."""
+    L = flat.shape[-1]
+    codes = kmer_codes(flat, k)                       # [L - k + 1]
+    codes = jnp.where(codes < 0, _INT32_MAX, codes)
+    nk = codes.shape[-1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (nk, 1), 0).squeeze(-1)
+    codes_s, pos_s = jax.lax.sort((codes, pos), num_keys=1)
+    # Stable sort => equal codes keep ascending positions; the adjacent
+    # sorted pair is each position's nearest other occurrence (either side).
+    eq = (codes_s[:-1] == codes_s[1:]) & (codes_s[:-1] != _INT32_MAX)
+    periodic = (eq & (pos_s[1:] - pos_s[:-1] <= max_period)).astype(jnp.int32)
+    ind = jnp.zeros((nk,), jnp.int32)
+    ind = ind.at[pos_s[:-1]].max(periodic)
+    ind = ind.at[pos_s[1:]].max(periodic)             # covers the last unit
+    mask = _box_density(ind, window) >= density       # [nk] k-mer starts
+    # A base j belongs to the array if any k-mer start in (j-k, j] is masked.
+    full = jnp.concatenate([mask, jnp.zeros((L - nk,), jnp.bool_)])
+    out = full
+    for s in range(1, k):
+        out = out | jnp.concatenate(
+            [jnp.zeros((s,), jnp.bool_), full[: L - s]])
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "max_period", "density", "window"))
+def long_tandem_mask(
+    seqs: jnp.ndarray,
+    *,
+    k: int = 12,
+    max_period: int = 500,
+    density: float = 0.5,
+    window: int = 64,
+) -> jnp.ndarray:
+    """Boolean long-period tandem mask over [..., L] code arrays.
+
+    Parity target: TRF `2 7 7 80 10 50 500` catches arrays with period up
+    to 500 and aligned score >= 50 (~>= 25 matching bp); here the density
+    window demands >= window*density periodic k-mer starts, i.e. ~32 bp of
+    locally recurring sequence (reference invocation `Util.py:2876`).
+    """
+    fn = functools.partial(_long_mask_1d, k=k, max_period=max_period,
+                           density=density, window=window)
+    if seqs.ndim == 1:
+        return fn(seqs)
+    flat = seqs.reshape((-1, seqs.shape[-1]))
+    return jax.vmap(fn)(flat).reshape(seqs.shape)
 
 
 @functools.partial(jax.jit,

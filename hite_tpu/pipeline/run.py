@@ -46,7 +46,7 @@ def _mask_tandem_regions(genome: Genome, seg_len: int = 131_072,
     """N-out tandem arrays in the masked genome copy (TRF -m equivalent)."""
     import jax.numpy as jnp
 
-    from hite_tpu.ops.tandem import tandem_mask
+    from hite_tpu.ops.tandem import long_tandem_mask, tandem_mask
 
     segs = genome.segment_view(seg_len)
     total = 0
@@ -55,7 +55,8 @@ def _mask_tandem_regions(genome: Genome, seg_len: int = 131_072,
         if chunk.shape[0] < batch:
             chunk = np.pad(chunk, ((0, batch - chunk.shape[0]), (0, 0)),
                            constant_values=4)
-        mask = np.asarray(tandem_mask(jnp.asarray(chunk)))
+        dev = jnp.asarray(chunk)
+        mask = np.asarray(tandem_mask(dev) | long_tandem_mask(dev))
         for bi in range(min(batch, segs.shape[0] - b0)):
             pos = np.nonzero(mask[bi])[0]
             if len(pos) == 0:
@@ -188,15 +189,24 @@ def run_pipeline(
         logger.info("pipeline: masked %d bp before LTR stage", masked_bp)
 
         def _ltr_stage():
+            from hite_tpu.models import bundled_model_path
             from hite_tpu.pipeline.ltr import LTRResult
             from hite_tpu.pipeline.ltr_deep import deep_filter_records
 
             res = run_ltr_detection(genome, cfg, gindex,
                                     seg_len=params.seg_len)
             # FiLTR frame judgement: flank homology must break at the
-            # element boundaries (rule verdict vetoes; CNN optional)
+            # element boundaries (rule verdict vetoes; the CNN confirms
+            # among rule-True high-copy candidates when params exist)
+            cnn_params = None
+            if cfg.ltr.use_deep_cnn:
+                path = cfg.ltr.deep_model_path or bundled_model_path(
+                    "ltr_filter_cnn.pkl")
+                if path and os.path.exists(path):
+                    from hite_tpu.models.trainer import load_params
+                    cnn_params = load_params(path)
             res = LTRResult(records=deep_filter_records(
-                genome, res.records, cfg, gindex))
+                genome, res.records, cfg, gindex, cnn_params=cnn_params))
             return res
 
         ltr = ckpt.run("ltr", _ltr_stage)

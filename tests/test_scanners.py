@@ -7,7 +7,7 @@ from hite_tpu.io.fasta import encode_seq
 from hite_tpu.ops.terminal import batched_local_align, find_terminal_repeat
 from hite_tpu.ops.tsd import tsd_search
 from hite_tpu.ops.tail import tail_scan
-from hite_tpu.ops.tandem import tandem_mask, tandem_fraction
+from hite_tpu.ops.tandem import long_tandem_mask, tandem_mask, tandem_fraction
 
 
 def _rand(rng, n):
@@ -118,3 +118,21 @@ def test_tandem_mask_and_fraction():
     assert m[0, :80].mean() < 0.2
     frac = np.asarray(tandem_fraction(jnp.asarray(seq[None]), jnp.asarray([300])))
     assert 0.15 < frac[0] < 0.5
+
+
+def test_long_tandem_mask():
+    rng = np.random.default_rng(11)
+    unit = _rand(rng, 200)                                # period-200 array
+    seq = np.concatenate([_rand(rng, 400), np.tile(unit, 4), _rand(rng, 400)])
+    m = np.asarray(long_tandem_mask(jnp.asarray(seq)))
+    arr = slice(400, 400 + 800)
+    assert m[arr].mean() > 0.85                           # array masked
+    assert m[:350].mean() < 0.05                          # flanks untouched
+    assert m[-350:].mean() < 0.05
+    # period 200 is invisible to the short-period kernel
+    ms = np.asarray(tandem_mask(jnp.asarray(seq)[None]))[0]
+    assert ms[arr].mean() < 0.2
+    # batch form: padded N rows stay unmasked
+    batch = np.stack([seq, np.full_like(seq, 4)])
+    mb = np.asarray(long_tandem_mask(jnp.asarray(batch)))
+    assert mb[0, arr].mean() > 0.85 and not mb[1].any()
