@@ -131,6 +131,8 @@ class LTRConfig:
     chunk_mb: int = 10                   # FiLTR 10Mb chromosome split
     miu: float = 1.3e-8                  # neutral mutation rate (insertion time)
     deep_threshold: float = 0.5          # CNN accept prob (LTR_filter.py:155)
+    use_deep_cnn: bool = True            # CNN branch (rule always runs)
+    deep_model_path: Optional[str] = None  # LTRFilterCNN params; None = bundled
     dedup_terminal_cov: float = 0.95     # deredundant_for_LTR_v5 thresholds
     dedup_internal_cov: float = 0.8
 

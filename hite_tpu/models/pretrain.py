@@ -1,0 +1,154 @@
+"""Default-checkpoint pretraining for the two neural judges.
+
+Produces the bundled parameter files the pipeline loads when the user
+supplies none (the reference ships `NeuralTE_model.h5` /
+`production_model.pth`; both are missing blobs in the reference checkout,
+so we train replacements on synthetic structural data — see
+`models.synthetic` for what signal is and is not in the data):
+
+    python -m hite_tpu.models.pretrain            # writes data/models/*.pkl
+
+Runs on CPU by design: the models are tiny, and pretraining must not
+contend with a pipeline run for the single TPU tunnel.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+
+def _force_cpu():
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
+MODELS_DIR = os.path.join(os.path.dirname(__file__), "..", "data", "models")
+
+
+def default_model_path(name: str) -> str:
+    return os.path.join(MODELS_DIR, name)
+
+
+def pretrain_superfamily(n_per_class: int = 60, epochs: int = 30,
+                         seed: int = 0, out: str | None = None):
+    """Train the SuperfamilyCNN on a synthetic library; returns metrics."""
+    import jax
+
+    from hite_tpu.models.synthetic import synthetic_library
+    from hite_tpu.models.trainer import (
+        evaluate, make_dataset, save_params, train_classifier,
+    )
+
+    lib = synthetic_library(n_per_class=n_per_class, seed=seed)
+    X, y, _ = make_dataset(lib)
+    model, params, hist = train_classifier(X, y, epochs=epochs, seed=seed)
+
+    eval_lib = synthetic_library(n_per_class=max(8, n_per_class // 5),
+                                 seed=seed + 1)
+    Xe, ye, _ = make_dataset(eval_lib)
+    metrics = evaluate(model, params, Xe, ye)
+    if out:
+        save_params(out, jax.tree.map(
+            lambda a: np.asarray(a, np.float16), params))
+    return metrics, hist
+
+
+def train_ltr_filter(imgs: np.ndarray, kms: np.ndarray, labels: np.ndarray,
+                     *, epochs: int = 10, batch_size: int = 16,
+                     lr: float = 1e-3, seed: int = 0):
+    """Train LTRFilterCNN on (image, kmer, label) arrays."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hite_tpu.models.ltr_filter import LTRFilterCNN
+
+    model = LTRFilterCNN()
+    rng = jax.random.key(seed)
+    params = model.init(rng, jnp.asarray(imgs[:1]), jnp.asarray(kms[:1]))
+    tx = optax.adamw(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, ib, kb, yb):
+        def loss_fn(p):
+            logits = model.apply(p, ib, kb)
+            logp = jax.nn.log_softmax(logits)
+            return -jnp.mean(jnp.take_along_axis(logp, yb[:, None], 1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    n = len(labels)
+    np_rng = np.random.default_rng(seed)
+    history = []
+    for epoch in range(epochs):
+        order = np_rng.permutation(n)
+        losses = []
+        for b0 in range(0, max(n - batch_size + 1, 1), batch_size):
+            idx = order[b0 : b0 + batch_size]
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(imgs[idx]),
+                jnp.asarray(kms[idx]), jnp.asarray(labels[idx]))
+            losses.append(float(loss))
+        history.append(float(np.mean(losses)))
+    return model, params, history
+
+
+def _frame_inputs(frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    from hite_tpu.pipeline.ltr_deep import cnn_inputs
+
+    imgs, kms = [], []
+    for M in frames:
+        img, km = cnn_inputs(M)
+        imgs.append(img)
+        kms.append(km)
+    return np.stack(imgs), np.stack(kms)
+
+
+def pretrain_ltr_filter(n: int = 400, epochs: int = 8, seed: int = 0,
+                        out: str | None = None):
+    """Train the LTR filter CNN on synthetic both-ends frames."""
+    import jax
+    import jax.numpy as jnp
+
+    from hite_tpu.models.synthetic import synthetic_frames
+    from hite_tpu.models.trainer import save_params
+
+    frames, labels = synthetic_frames(n=n, seed=seed)
+    imgs, kms = _frame_inputs(frames)
+    model, params, hist = train_ltr_filter(imgs, kms, labels, epochs=epochs,
+                                           seed=seed)
+
+    ef, el = synthetic_frames(n=max(40, n // 5), seed=seed + 1)
+    ei, ek = _frame_inputs(ef)
+    logits = model.apply(params, jnp.asarray(ei), jnp.asarray(ek))
+    pred = np.asarray(jnp.argmax(logits, axis=-1))
+    acc = float((pred == el).mean())
+    if out:
+        save_params(out, jax.tree.map(
+            lambda a: np.asarray(a, np.float16), params))
+    return dict(accuracy=acc), hist
+
+
+def main():
+    _force_cpu()
+    os.makedirs(MODELS_DIR, exist_ok=True)
+    m1, h1 = pretrain_superfamily(
+        out=default_model_path("superfamily_cnn.pkl"))
+    print("superfamily:", m1, "final loss", h1[-1])
+    m2, h2 = pretrain_ltr_filter(
+        out=default_model_path("ltr_filter_cnn.pkl"))
+    print("ltr_filter:", m2, "final loss", h2[-1])
+
+
+if __name__ == "__main__":
+    main()

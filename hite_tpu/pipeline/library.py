@@ -164,15 +164,21 @@ def build_library(
     # `get_nonRedundant_lib.py:66-79`): entries whose structural label is
     # Unknown/generic get the classifier's superfamily call when a trained
     # model is configured
-    if cfg.classify.use_neural and cfg.classify.model_path and \
-            libs.get("merged"):
-        libs["merged"] = refine_labels(libs["merged"], cfg)
+    if cfg.classify.use_neural and libs.get("merged"):
+        from hite_tpu.models import bundled_model_path
+
+        model_path = cfg.classify.model_path or bundled_model_path(
+            "superfamily_cnn.pkl")
+        if model_path:
+            libs["merged"] = refine_labels(libs["merged"], cfg,
+                                           model_path=model_path)
     logger.info("library: %d merged entries", len(libs.get("merged", {})))
     return libs
 
 
 def refine_labels(merged: Dict[str, np.ndarray],
-                  cfg: PipelineConfig) -> Dict[str, np.ndarray]:
+                  cfg: PipelineConfig,
+                  model_path: Optional[str] = None) -> Dict[str, np.ndarray]:
     """Relabel Unknown/generic entries with the trained SuperfamilyCNN."""
     import os
 
@@ -183,11 +189,12 @@ def refine_labels(merged: Dict[str, np.ndarray],
     from hite_tpu.models.trainer import load_params
     from hite_tpu.pipeline.candidates import pad_rows, pad_seqs
 
-    if not os.path.exists(cfg.classify.model_path):
+    model_path = model_path or cfg.classify.model_path
+    if not (model_path and os.path.exists(model_path)):
         logger.warning("classifier model %s missing; labels unchanged",
-                       cfg.classify.model_path)
+                       model_path)
         return merged
-    params = load_params(cfg.classify.model_path)
+    params = load_params(model_path)
     model = SuperfamilyCNN()
 
     target = [n for n in merged
