@@ -31,6 +31,18 @@ The downstream stays as in `ops.seedext`: a second sort by (diagonal band,
 qpos) groups co-diagonal seeds, runs with bounded qpos gaps become HSPs, and
 FMEA chaining merges HSPs into repeat candidates — done exactly, on the
 host, over the (small) compacted HSP list (`ops.chain.chain_hsps_host`).
+
+Compile-time discipline (measured on the axon v5e tunnel): `lax.sort`
+compiles in 20-50 s even at 16M keys, but scan-family ops (associative_scan
+/ cummax / cumsum) blow up superlinearly with array size — an
+associative_scan over 16M took >25 min to compile.  So every scan here runs
+on a FIXED-SIZE prefix of the sorted seed stream (`max_seed_pairs`):
+invalid entries carry INT32_MAX keys and sort to the tail, so truncating
+the sorted stream keeps exactly the first `max_seed_pairs` real seed pairs
+(grouped by diagonal band, i.e. runs stay contiguous).  The scan section
+therefore compiles once per budget — never per genome size — and the
+persistent compile cache makes it free across processes.  `n_pairs`
+reports the pre-truncation count so callers can warn on saturation.
 """
 
 from __future__ import annotations
@@ -60,24 +72,12 @@ class JoinHSPs(NamedTuple):
     se: jnp.ndarray
     nseeds: jnp.ndarray
     valid: jnp.ndarray   # bool [M]
-
-
-def _fill_from_marks(values: jnp.ndarray, marks: jnp.ndarray) -> jnp.ndarray:
-    """1-D forward fill of `values` from positions where marks is True."""
-
-    def combine(a, b):
-        v_a, s_a = a
-        v_b, s_b = b
-        return jnp.where(s_b, v_b, v_a), s_a | s_b
-
-    filled, _ = jax.lax.associative_scan(
-        combine, (jnp.where(marks, values, 0), marks))
-    return filled
+    n_pairs: jnp.ndarray  # int32 [] seed pairs before the budget cut
 
 
 @partial(jax.jit, static_argnames=(
     "k", "window", "diag_band", "run_gap", "min_seeds", "min_hsp_len",
-    "max_hsps"))
+    "max_hsps", "max_seed_pairs"))
 def selfjoin_hsps(
     flat: jnp.ndarray,
     *,
@@ -88,6 +88,7 @@ def selfjoin_hsps(
     min_seeds: int = 4,
     min_hsp_len: int = 30,
     max_hsps: int = 16_384,
+    max_seed_pairs: int = 1 << 20,
 ) -> JoinHSPs:
     """All-genome repeat seed HSPs from one code sort + D shifted compares.
 
@@ -122,24 +123,28 @@ def selfjoin_hsps(
     qv = jnp.concatenate(qv_parts)                              # [W*2L]
     sv = jnp.concatenate(sv_parts)
     ok = jnp.concatenate(ok_parts)
+    n_pairs = jnp.sum(ok.astype(jnp.int32))
 
-    # Group co-diagonal seeds: global 2-key int32 sort by (diag band, qpos).
+    # Group co-diagonal seeds: global 2-key int32 sort by (diag band, qpos);
+    # invalid entries carry INT32_MAX keys and sort to the tail, so the
+    # fixed-size prefix below holds the first `max_seed_pairs` real pairs.
     dbin = (sv - qv) // diag_band
-    s_dbin, s_qpos, s_spos, s_ok = jax.lax.sort(
-        (jnp.where(ok, dbin, INT32_MAX), jnp.where(ok, qv, INT32_MAX),
-         sv, ok.astype(jnp.int32)),
+    s_dbin, s_qpos, s_spos = jax.lax.sort(
+        (jnp.where(ok, dbin, INT32_MAX), jnp.where(ok, qv, INT32_MAX), sv),
         num_keys=2,
     )
-    valid = s_ok.astype(jnp.bool_)
+    S = min(max_seed_pairs, s_qpos.shape[0])
+    s_dbin, s_qpos, s_spos = s_dbin[:S], s_qpos[:S], s_spos[:S]
+    valid = s_dbin != INT32_MAX
 
-    m = s_qpos.shape[0]
+    # Run detection on the fixed-size prefix (compiles once per budget).
     prev_dbin = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_dbin[:-1]])
     prev_qpos = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_qpos[:-1]])
     brk = (s_dbin != prev_dbin) | (s_qpos - prev_qpos > run_gap)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).squeeze(-1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0).squeeze(-1)
     run_start = jax.lax.cummax(jnp.where(brk, idx, -1))
-    start_q = _fill_from_marks(s_qpos, brk)
-    start_s = _fill_from_marks(s_spos, brk)
+    start_q = jnp.take(s_qpos, run_start)
+    start_s = jnp.take(s_spos, run_start)
     nseeds = idx - run_start + 1
     qs, qe = start_q, s_qpos + k
     ss = jnp.minimum(start_s, s_spos)
@@ -149,38 +154,10 @@ def selfjoin_hsps(
     is_end = valid & nxt_brk
     good = is_end & (nseeds >= min_seeds) & (qe - qs >= min_hsp_len)
 
-    # Two-stage compaction: per-tile nonzero, then global.
-    T = min(32_768, m)
-    n_tiles = (m + T - 1) // T
-    padm = n_tiles * T - m
-
-    def tiled(a, fill):
-        if padm:
-            a = jnp.concatenate([a, jnp.full((padm,), fill, a.dtype)])
-        return a.reshape(n_tiles, T)
-
-    g_t = tiled(good, False)
-    per_tile = max(32, min(512, max_hsps // max(n_tiles, 1)))
-
-    def tile_compact(g):
-        (s,) = jnp.nonzero(g, size=per_tile, fill_value=T - 1)
-        cnt = jnp.sum(g)
-        v = jax.lax.broadcasted_iota(
-            jnp.int32, (per_tile, 1), 0).squeeze(-1) < cnt
-        return s, v
-
-    sel_t, valid_t = jax.vmap(tile_compact)(g_t)
-
-    def take_t(a):
-        return jnp.take_along_axis(tiled(a, 0), sel_t, axis=1)
-
-    qs2, qe2, ss2, se2, ns2 = map(take_t, (qs, qe, ss, se, nseeds))
-    gf = valid_t.reshape(-1)
-    n2 = gf.shape[0]
-    (sel,) = jnp.nonzero(gf, size=max_hsps, fill_value=n2 - 1)
-    count = jnp.sum(gf)
+    (sel,) = jnp.nonzero(good, size=max_hsps, fill_value=S - 1)
+    count = jnp.sum(good)
     out_valid = jax.lax.broadcasted_iota(
         jnp.int32, (max_hsps, 1), 0).squeeze(-1) < count
-    take = lambda a: jnp.where(out_valid, a.reshape(-1)[sel], 0)
-    return JoinHSPs(qs=take(qs2), qe=take(qe2), ss=take(ss2), se=take(se2),
-                    nseeds=take(ns2), valid=out_valid)
+    take = lambda a: jnp.where(out_valid, jnp.take(a, sel), 0)
+    return JoinHSPs(qs=take(qs), qe=take(qe), ss=take(ss), se=take(se),
+                    nseeds=take(nseeds), valid=out_valid, n_pairs=n_pairs)

@@ -52,6 +52,7 @@ class CoarseParams:
     strategy: str = "selfjoin"
     window: int = 4               # selfjoin: pair each entry with <=W run neighbors
     max_hsps_global: int = 32_768
+    max_seed_pairs: int = 1 << 20  # scan-section budget (see ops.selfjoin)
 
 
 @functools.lru_cache(maxsize=32)
@@ -175,7 +176,14 @@ def _selfjoin_intervals(
         hs = selfjoin_hsps(
             jnp.asarray(flat), k=cfg.kmer_size, window=p.window,
             diag_band=p.diag_band, run_gap=p.run_gap, min_seeds=p.min_seeds,
-            min_hsp_len=cfg.min_hsp_len, max_hsps=p.max_hsps_global)
+            min_hsp_len=cfg.min_hsp_len, max_hsps=p.max_hsps_global,
+            max_seed_pairs=p.max_seed_pairs)
+        n_pairs = int(hs.n_pairs)
+        if n_pairs > p.max_seed_pairs:
+            logger.warning(
+                "coarse.selfjoin: %d seed pairs exceed the %d budget; "
+                "high-diagonal-band seeds dropped (raise "
+                "CoarseParams.max_seed_pairs)", n_pairs, p.max_seed_pairs)
         valid = np.asarray(hs.valid)
         qs, qe, ss, se = (np.asarray(a)[valid]
                           for a in (hs.qs, hs.qe, hs.ss, hs.se))
