@@ -149,6 +149,12 @@ class HelitronConfig:
     min_score_tail: int = 1
     terminal_motifs_tail: Tuple[str, ...] = ("CTAGT", "CTAAT", "CTGGT", "CTGAT")
     head_motif: str = "ATC"
+    # optional EAHelitron-style structure gate, unioned with the LCV gate
+    # (reference judge_Helitron_transposons.py:39-54, default-disabled there;
+    # invocation `EAHelitron -u 20000 -T "ATC" -r 3`, Util.py:143)
+    use_eahelitron: bool = False
+    ea_upstream: int = 20_000
+    ea_fuzzy_level: int = 3
 
 
 @dataclass(frozen=True)

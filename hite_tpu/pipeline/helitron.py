@@ -94,7 +94,11 @@ def lcv_gate(
                 for i in idxs]
         mat, slens = pad_seqs(seqs, width, n_rows=pad_rows(len(seqs)))
         fwd = jnp.asarray(mat)
-        rev = jnp.asarray(np.stack([np_revcomp(r) for r in mat]))
+        # revcomp each row within its own length (revcomping the padded row
+        # would shift the content to the tail of the row)
+        mat_r, _ = pad_seqs([np_revcomp(s) for s in seqs], width,
+                            n_rows=pad_rows(len(seqs)))
+        rev = jnp.asarray(mat_r)
         for orient, arr in ((0, fwd), (1, rev)):
             h_sc, _h_w = lcv_scores(arr, head_bank, tile=min(width, 2048))
             t_sc, t_w = lcv_scores(arr, tail_bank, tile=min(width, 2048))
@@ -131,6 +135,72 @@ def lcv_gate(
     return np.array(out, np.int64).reshape(-1, 2)
 
 
+def eahelitron_gate(
+    genome: Genome,
+    intervals: np.ndarray,
+    cfg: PipelineConfig,
+) -> np.ndarray:
+    """EAHelitron-style 5'ATC..hairpin-CTRRT structure gate (both strands).
+
+    Returns trimmed candidate intervals; unioned with the LCV gate when
+    `cfg.helitron.use_eahelitron` (the reference concatenates EAHelitron
+    and HelitronScanner candidates, judge_Helitron_transposons.py:49-54).
+    """
+    from hite_tpu.ops.eahelitron import hel3_scan, select_pairs, tc5_scan
+
+    hcfg = cfg.helitron
+    flank = 50
+    out: List[Tuple[int, int]] = []
+    lens = intervals[:, 1] - intervals[:, 0]
+
+    for width, idxs in bucket_iter(range(len(intervals)), lens + 2 * flank):
+        seqs = []
+        metas = []  # (interval idx, left-flank actually available)
+        for i in idxs:
+            s = genome.extract(intervals[i, 0], intervals[i, 1], flank)
+            # reference skips candidates containing a 10bp N run
+            # (run_EAHelitron, Util.py:137-140)
+            isn = (s >= 4).astype(np.int8)
+            if len(s) >= 10 and np.convolve(isn, np.ones(10, np.int8),
+                                            "valid").max() >= 10:
+                continue
+            ci, local = genome.contig_of(np.array([intervals[i, 0]]))
+            seqs.append(s)
+            metas.append((i, min(flank, int(local[0]))))
+        if not seqs:
+            continue
+        n = len(seqs)
+        rows = pad_rows(n)
+        mat, slens = pad_seqs(seqs, width, n_rows=rows)
+        # reverse strand: revcomp each row within its own length so row-local
+        # positions stay in [0, len)
+        mat_r, _ = pad_seqs([np_revcomp(s) for s in seqs], width, n_rows=rows)
+        for orient, m_arr in ((0, mat), (1, mat_r)):
+            arr = jnp.asarray(m_arr)
+            hel3 = np.asarray(hel3_scan(arr, hcfg.ea_fuzzy_level))
+            tc5 = np.asarray(tc5_scan(arr))
+            raw_s = np.array([m[1] for m in metas])
+            raw_e = raw_s + (intervals[[m[0] for m in metas], 1]
+                             - intervals[[m[0] for m in metas], 0])
+            if orient == 1:  # raw boundaries in the flipped frame
+                L_all = slens[:n].astype(np.int64)
+                raw_s, raw_e = L_all - raw_e, L_all - raw_s
+            picks = select_pairs(hel3[:n], tc5[:n], slens[:n], raw_s, raw_e,
+                                 upstream=hcfg.ea_upstream,
+                                 min_len=cfg.library.min_te_len)
+            for b, pick in enumerate(picks):
+                if pick is None:
+                    continue
+                s_loc, e_loc = pick
+                if orient == 1:  # map back to forward frame
+                    L = int(slens[b])
+                    s_loc, e_loc = L - e_loc, L - s_loc
+                i, lf = metas[b]
+                g0 = int(intervals[i, 0]) - lf
+                out.append((g0 + s_loc, g0 + e_loc))
+    return np.array(out, np.int64).reshape(-1, 2)
+
+
 def run_helitron_detection(
     genome: Genome,
     coarse_intervals: np.ndarray,
@@ -151,6 +221,13 @@ def run_helitron_detection(
         gated = lcv_gate(genome, coarse_intervals, cfg)
     logger.info("helitron: %d/%d candidates pass LCV head+tail gate",
                 len(gated), len(coarse_intervals))
+    if cfg.helitron.use_eahelitron:
+        with stage_timer("helitron.eahelitron_gate"):
+            ea = eahelitron_gate(genome, coarse_intervals, cfg)
+        logger.info("helitron: +%d EAHelitron structure candidates", len(ea))
+        if len(ea):
+            from hite_tpu.utils import intervals as iv
+            gated, _ = iv.dedup(np.concatenate([gated, ea]), q=10)
     return verify_families(
         genome, gated, cfg, make_helitron_judge(),
         min_copies=cfg.msa.min_copy_helitron, stage="helitron", gindex=gindex)

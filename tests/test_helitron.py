@@ -68,3 +68,33 @@ def test_helitron_end_to_end():
             for p in starts)
         for a_s, a_e in result.accepted.intervals)
     assert matched, (result.accepted.intervals, starts)
+
+
+def test_lcv_gate_reverse_strand_padded_row():
+    """Reverse-orientation element in a row shorter than its bucket width.
+
+    Regression: lcv_gate used to revcomp the PADDED row, shifting the
+    content into the tail so reverse-strand hits were lost whenever the
+    candidate was shorter than the padding bucket.
+    """
+    from hite_tpu.pipeline.helitron import lcv_gate
+    from hite_tpu.io.fasta import revcomp as np_revcomp
+
+    rng = np.random.default_rng(11)
+    head = encode_seq("TCTCTACTA")
+    core = rng.integers(0, 4, 700).astype(np.uint8)
+    tail_inst = encode_seq("CAATGAACG" + "ACGTACGTA" + "CTAGT")
+    te = np.concatenate([head, core, tail_inst])
+    te_rc = np_revcomp(te)
+
+    bg = rng.integers(0, 4, 8000).astype(np.uint8)
+    pos = 3000
+    bg[pos : pos + len(te_rc)] = te_rc
+    genome = Genome.from_dict({"chr1": bg})
+
+    cfg = PipelineConfig()
+    intervals = np.array([[pos, pos + len(te_rc)]], np.int64)
+    got = lcv_gate(genome, intervals, cfg)
+    assert len(got) >= 1, "reverse-strand LCV candidate missed"
+    s, e = got[0]
+    assert abs(int(s) - pos) <= 60 and abs(int(e) - (pos + len(te_rc))) <= 60
