@@ -131,6 +131,11 @@ class LTRConfig:
     chunk_mb: int = 10                   # FiLTR 10Mb chromosome split
     miu: float = 1.3e-8                  # neutral mutation rate (insertion time)
     deep_threshold: float = 0.5          # CNN accept prob (LTR_filter.py:155)
+    # use_filtr=False selects the reference's legacy LTR path semantics
+    # (--use_FiLTR 0, main.py:91: LTR_harvest/finder + LTR_retriever):
+    # structural validation only (pair identity, TSD, TG...CA), skipping the
+    # FiLTR both-ends frame judgement and CNN
+    use_filtr: bool = True
     use_deep_cnn: bool = True            # CNN branch (rule always runs)
     deep_model_path: Optional[str] = None  # LTRFilterCNN params; None = bundled
     dedup_terminal_cov: float = 0.95     # deredundant_for_LTR_v5 thresholds

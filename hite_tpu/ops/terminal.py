@@ -179,6 +179,44 @@ def batched_local_align(
     )
 
 
+_PALLAS_MAX_ELEMS = 96 * 1024   # B x lane-padded-W budget (~10MB VMEM working set)
+
+
+def batched_local_align_auto(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    match: int = 2,
+    mismatch: int = -3,
+    gap: int = 4,
+    invalid_code: int = 4,
+) -> LocalAlign:
+    """Nucleotide SW with backend dispatch.
+
+    On TPU backends uses the Pallas VMEM kernel (`ops.terminal_pallas`) —
+    measured 1.0-1.8x the XLA scan on v5e, growing with sequence length
+    and bit-exact against it; on CPU (tests) uses the XLA path.  Batches
+    are split into power-of-two chunks to bound the VMEM working set.
+    """
+    if jax.default_backend() == "cpu" or a.shape[1] > 16_000:
+        return batched_local_align(a, b, match=match, mismatch=mismatch,
+                                   gap=gap, invalid_code=invalid_code)
+    from hite_tpu.ops.terminal_pallas import batched_local_align_pallas
+
+    B, La = a.shape
+    W = ((max(La + 1, 128) + 127) // 128) * 128
+    chunk = max(8, _PALLAS_MAX_ELEMS // W)
+    chunk = 1 << (chunk.bit_length() - 1)
+    kw = dict(match=match, mismatch=mismatch, gap=gap,
+              invalid_code=invalid_code)
+    if B <= chunk:
+        return batched_local_align_pallas(a, b, **kw)
+    outs = [batched_local_align_pallas(a[i : i + chunk], b[i : i + chunk],
+                                       **kw)
+            for i in range(0, B, chunk)]
+    return LocalAlign(*(jnp.concatenate(parts) for parts in zip(*outs)))
+
+
 class TerminalRepeat(NamedTuple):
     """Per-candidate terminal repeat call.
 
@@ -231,7 +269,7 @@ def find_terminal_repeat(
     """
     left, right, right_off = _end_windows(seqs, lens, window)
     b = revcomp(right) if inverted else right
-    al = batched_local_align(left, b)
+    al = batched_local_align_auto(left, b)
 
     identity = al.matches / jnp.maximum(al.alen, 1)
     length = jnp.minimum(al.qe - al.qs, al.se - al.ss)

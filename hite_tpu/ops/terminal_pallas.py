@@ -8,15 +8,19 @@ lane rolls (no gathers — TPU has no vector gather), and per-cell running
 bests are reduced once at the end.  The JAX/XLA implementation remains the
 reference oracle and the CPU fallback.
 
-Status: numerically exact vs the oracle (interpret-mode parity tests in
-tests/test_pallas_sw.py).  Native compilation on the current axon/Mosaic
-stack hits an "Invalid relayout ... replicated in destination" compiler
-bug on an int32 [B, 128] intermediate (dynamic-shift rotate and plain
-scalar-broadcast probes compile fine in isolation; per-compile turnaround
-through the remote-compile tunnel is minutes, so the bisection continues
-next round — see ROADMAP.md).  The XLA path stays the default; it was
-itself made gather-free (rolling diagonal buffer, end-only reduction) as
-part of this work.
+Status: compiles and runs natively on the v5e, bit-exact against the XLA
+oracle at every probed shape and 1.0-1.8x faster (speedup grows with
+sequence length); dispatched automatically on TPU backends by
+`ops.terminal.batched_local_align_auto`.  Two Mosaic pitfalls were
+root-caused on hardware and are encoded below:
+
+1. constant/iota-derived fori_loop carry inits get (partially) replicated
+   layouts, and the loop backedge then demands an invalid non-replicated
+   -> replicated relayout ("Invalid relayout ... replicated in
+   destination") — every carry plane is derived from an input ref load;
+2. `pltpu.roll` with a NEGATIVE dynamic shift amount is mis-lowered for
+   widths != 256 (off by width-256 lanes) — the rotate uses the positive
+   equivalent amount.
 """
 
 from __future__ import annotations
@@ -55,7 +59,12 @@ def _sw_kernel(a_ref, brev_ref, bh_ref, bsi_ref, bsj_ref, bm_ref, bl_ref,
         jnp.where(i_arr < La, a_ref[:, :W], inv), inv)
     a_sym = jnp.where((i_arr >= 1) & in_row, a_sym, inv)
 
-    zero = jnp.zeros((B, W), jnp.int32)
+    # NOT jnp.zeros: constant (or iota-derived, row-constant) planes get a
+    # (partially) replicated Mosaic layout, and the fori_loop backedge would
+    # then need an invalid non-replicated -> replicated relayout ("Invalid
+    # relayout ... replicated in destination").  Deriving zero from the input
+    # ref (codes are always >= 0) pins a located {0,0} layout on every carry.
+    zero = jnp.minimum(a_ref[:, :W], 0)
 
     def body(k, state):
         (h1, si1, sj1, m1, l1,
@@ -67,11 +76,17 @@ def _sw_kernel(a_ref, brev_ref, bh_ref, bsi_ref, bsj_ref, bm_ref, bl_ref,
 
         # sliding-window load of this diagonal's b symbols: dynamic lane
         # offsets must be 128-aligned, so load an aligned superset and
-        # rotate the window into place
+        # rotate the window into place.  The rotate amount MUST be the
+        # positive equivalent: Mosaic's dynamic roll with a NEGATIVE
+        # amount is mis-lowered for widths != 256 (off by width-256
+        # lanes, measured on v5e — exactly width 256 is correct, which is
+        # why W=128 cases passed).
         off = W + Lb - k
         astart = pl.multiple_of((off // 128) * 128, 128)
-        wide = brev_ref[:, pl.ds(astart, W + 128)]
-        br = pltpu.roll(wide, shift=-(off % 128), axis=1)[:, :W]
+        wide_w = W + 128
+        wide = brev_ref[:, pl.ds(astart, wide_w)]
+        br = pltpu.roll(wide, shift=(wide_w - off % 128) % wide_w,
+                        axis=1)[:, :W]
 
         ok = (a_sym < invalid_code) & (br < invalid_code)
         is_match = (a_sym == br) & ok
@@ -120,10 +135,10 @@ def _sw_kernel(a_ref, brev_ref, bh_ref, bsi_ref, bsj_ref, bm_ref, bl_ref,
 
     # planes for diagonals k-1 (k=1) and k-2 (k=0); zero-score cells store
     # their own (i, j) as successor-alignment start coordinates
-    sj_k1 = jnp.maximum(1 - i_arr, 0)
-    init = (zero, i_arr, sj_k1, zero, zero,
-            zero, i_arr, zero, zero, zero,
-            jnp.full((B, W), NEG, jnp.int32),
+    sj_k1 = jnp.maximum(1 - i_arr, 0) + zero   # + zero: located layout
+    init = (zero, i_arr + zero, sj_k1, zero, zero,
+            zero, i_arr + zero, zero, zero, zero,
+            zero + NEG,
             zero, zero, zero, zero, zero)
     state = jax.lax.fori_loop(2, La + Lb + 1, body, init)
     (_h, _si, _sj, _m, _l, _h2, _si2, _sj2, _m2, _l2,

@@ -39,7 +39,7 @@ from hite_tpu.ops.chain import chain_hsps
 from hite_tpu.ops.kmer import build_index
 from hite_tpu.ops.seedext import pair_hsps
 from hite_tpu.ops.tandem import tandem_fraction
-from hite_tpu.ops.terminal import batched_local_align
+from hite_tpu.ops.terminal import batched_local_align_auto
 from hite_tpu.pipeline.candidates import pad_rows, pad_seqs
 from hite_tpu.pipeline.copies import GenomeIndex
 from hite_tpu.utils.log import logger, stage_timer
@@ -171,7 +171,7 @@ def refine_and_filter(
     lmat, _ = pad_seqs(lwins, width, n_rows=n_rows)
     rmat, _ = pad_seqs(rwins, width, n_rows=n_rows)
 
-    al = batched_local_align(jnp.asarray(lmat), jnp.asarray(rmat))
+    al = batched_local_align_auto(jnp.asarray(lmat), jnp.asarray(rmat))
     score = np.asarray(al.score)
     aqs, aqe = np.asarray(al.qs), np.asarray(al.qe)
     ass_, ase = np.asarray(al.ss), np.asarray(al.se)

@@ -195,6 +195,10 @@ def run_pipeline(
 
             res = run_ltr_detection(genome, cfg, gindex,
                                     seg_len=params.seg_len)
+            if not cfg.ltr.use_filtr:
+                # legacy path (--use_FiLTR 0): structural validation only,
+                # as LTR_harvest/finder + LTR_retriever (main.py:186-242)
+                return res
             # FiLTR frame judgement: flank homology must break at the
             # element boundaries (rule verdict vetoes; the CNN confirms
             # among rule-True high-copy candidates when params exist)
@@ -343,9 +347,8 @@ def write_outputs(out_dir: str, genome: Genome, cfg: PipelineConfig,
                   indent=2)
 
 
-def main(argv=None) -> None:
-    """CLI with reference `main.py` flag names (subset that survives the
-    redesign; process-management flags are obsolete)."""
+def config_from_argv(argv=None):
+    """Parse reference-`main.py`-style flags into (PipelineConfig, args)."""
     import argparse
 
     p = argparse.ArgumentParser(
@@ -369,6 +372,10 @@ def main(argv=None) -> None:
     p.add_argument("--min_TE_len", type=int, default=80)
     p.add_argument("--is_wicker", type=int, default=0)
     p.add_argument("--chrom_seg_length", type=int, default=131_072)
+    # FiLTR toggle; --use_HybridLTR is the reference's other name for the
+    # same subsystem (README.md:303-304 / nextflow.config:49 vs main.py:91)
+    p.add_argument("--use_FiLTR", "--use_HybridLTR", dest="use_FiLTR",
+                   type=int, default=1)
     args = p.parse_args(argv)
 
     import dataclasses
@@ -384,11 +391,19 @@ def main(argv=None) -> None:
                      else args.species),
     )
     cfg = cfg.replace(
-        ltr=dataclasses.replace(cfg.ltr, miu=args.miu),
+        ltr=dataclasses.replace(cfg.ltr, miu=args.miu,
+                                use_filtr=bool(args.use_FiLTR)),
         library=dataclasses.replace(cfg.library, min_te_len=args.min_TE_len),
         classify=dataclasses.replace(cfg.classify,
                                      is_wicker=bool(args.is_wicker)),
     )
+    return cfg, args
+
+
+def main(argv=None) -> None:
+    """CLI with reference `main.py` flag names (subset that survives the
+    redesign; process-management flags are obsolete)."""
+    cfg, args = config_from_argv(argv)
     genome = Genome.from_fasta(args.genome)
     params = CoarseParams(seg_len=args.chrom_seg_length)
     run_pipeline(genome, cfg, out_dir=args.out_dir, coarse_params=params)

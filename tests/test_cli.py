@@ -33,3 +33,15 @@ def test_cli_end_to_end(tmp_path):
     for f in ("confident_TE.cons.fa", "confident_tir.fa", "stage_times.json"):
         assert os.path.exists(os.path.join(out, f)), f
     assert os.path.exists(os.path.join(out, "benchmark.json"))
+
+
+def test_use_filtr_flag_and_alias():
+    from hite_tpu.pipeline.run import config_from_argv
+
+    cfg, _ = config_from_argv(["--genome", "g.fa"])
+    assert cfg.ltr.use_filtr
+    cfg, _ = config_from_argv(["--genome", "g.fa", "--use_FiLTR", "0"])
+    assert not cfg.ltr.use_filtr
+    # the reference's other name for the same subsystem
+    cfg, _ = config_from_argv(["--genome", "g.fa", "--use_HybridLTR", "0"])
+    assert not cfg.ltr.use_filtr
