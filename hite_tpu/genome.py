@@ -44,6 +44,8 @@ class Genome:
     starts: np.ndarray          # int64 [n_contigs]
     lengths: np.ndarray         # int64 [n_contigs]
     masked: Optional[np.ndarray] = None  # uint8 flat copy with prev-TE spans set to N
+    # device-resident buffers (see device_flat_padded); never compared
+    _device_cache: Dict = field(default_factory=dict, repr=False, compare=False)
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -118,7 +120,31 @@ class Genome:
             if e > s:
                 self.masked[s:e] = CODE_N
                 total += e - s
+        if total:
+            self._device_cache.pop(("flat_pow2", True), None)
         return total
+
+    def device_flat_padded(self, use_masked: bool = False):
+        """Device-resident flat codes, N-padded to a power of two.
+
+        Cached: the genome upload over the axon tunnel costs a round trip
+        plus bandwidth on every kernel call otherwise (the masked variant
+        is invalidated by mask_intervals).  Returns (device uint8 [Lp],
+        true length L)."""
+        import jax.numpy as jnp
+
+        src = (self.masked if (use_masked and self.masked is not None)
+               else self.flat)
+        key = ("flat_pow2", src is self.masked)
+        L = len(src)
+        ent = self._device_cache.get(key)
+        if ent is None:
+            Lp = max(65_536, 1 << (L - 1).bit_length())
+            buf = np.full(Lp, CODE_N, dtype=np.uint8)
+            buf[:L] = src
+            ent = jnp.asarray(buf)
+            self._device_cache[key] = ent
+        return ent, L
 
     # ------------------------------------------------------------- extraction
     def extract(self, start: int, end: int, flank: int = 0) -> np.ndarray:

@@ -161,3 +161,18 @@ def selfjoin_hsps(
     take = lambda a: jnp.where(out_valid, jnp.take(a, sel), 0)
     return JoinHSPs(qs=take(qs), qe=take(qe), ss=take(ss), se=take(se),
                     nseeds=take(nseeds), valid=out_valid, n_pairs=n_pairs)
+
+
+@partial(jax.jit, static_argnames=(
+    "k", "window", "diag_band", "run_gap", "min_seeds", "min_hsp_len",
+    "max_hsps", "max_seed_pairs"))
+def selfjoin_hsps_packed(flat: jnp.ndarray, **kw) -> jnp.ndarray:
+    """`selfjoin_hsps` packed into ONE int32 [6, max_hsps] device array:
+    rows qs, qe, ss, se, valid, n_pairs (broadcast).  One host fetch
+    instead of seven — the axon tunnel pays a round trip per transfer,
+    which dominated the measured coarse stage (selfjoin compute is ~0.1 s
+    at 2Mbp; the un-batched fetches were ~0.7 s)."""
+    hs = selfjoin_hsps(flat, **kw)
+    return jnp.stack([hs.qs, hs.qe, hs.ss, hs.se,
+                      hs.valid.astype(jnp.int32),
+                      jnp.full_like(hs.qs, hs.n_pairs)])

@@ -161,32 +161,29 @@ def _selfjoin_intervals(
     genome: Genome, cfg: AlignConfig, p: CoarseParams, use_masked: bool
 ) -> np.ndarray:
     """Candidate intervals via the whole-genome self-join kernel."""
-    from hite_tpu.io.fasta import CODE_N
     from hite_tpu.ops.chain import chain_hsps_host
-    from hite_tpu.ops.selfjoin import selfjoin_hsps
+    from hite_tpu.ops.selfjoin import selfjoin_hsps_packed
 
-    src = (genome.masked if (use_masked and genome.masked is not None)
-           else genome.flat)
-    L = len(src)
-    Lp = max(65_536, 1 << (L - 1).bit_length())   # pow2 pad bounds recompiles
-    flat = np.full(Lp, CODE_N, dtype=np.uint8)
-    flat[:L] = src
+    # cached device upload + single packed fetch: the axon tunnel pays a
+    # round trip per transfer, which dominated this stage (the selfjoin
+    # compute itself is ~0.1s at 2Mbp)
+    flat_d, L = genome.device_flat_padded(use_masked)
+    Lp = flat_d.shape[0]
 
     with stage_timer("coarse.selfjoin"):
-        hs = selfjoin_hsps(
-            jnp.asarray(flat), k=cfg.kmer_size, window=p.window,
+        packed = np.asarray(selfjoin_hsps_packed(
+            flat_d, k=cfg.kmer_size, window=p.window,
             diag_band=p.diag_band, run_gap=p.run_gap, min_seeds=p.min_seeds,
             min_hsp_len=cfg.min_hsp_len, max_hsps=p.max_hsps_global,
-            max_seed_pairs=p.max_seed_pairs)
-        n_pairs = int(hs.n_pairs)
+            max_seed_pairs=p.max_seed_pairs))
+        n_pairs = int(packed[5, 0])
         if n_pairs > p.max_seed_pairs:
             logger.warning(
                 "coarse.selfjoin: %d seed pairs exceed the %d budget; "
                 "high-diagonal-band seeds dropped (raise "
                 "CoarseParams.max_seed_pairs)", n_pairs, p.max_seed_pairs)
-        valid = np.asarray(hs.valid)
-        qs, qe, ss, se = (np.asarray(a)[valid]
-                          for a in (hs.qs, hs.qe, hs.ss, hs.se))
+        valid = packed[4].astype(bool)
+        qs, qe, ss, se = (packed[i][valid] for i in range(4))
 
     with stage_timer("coarse.chain"):
         out: List[np.ndarray] = []

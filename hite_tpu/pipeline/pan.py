@@ -197,6 +197,38 @@ def run_pan_pipeline(
     return result
 
 
+def pan_benchmark(
+    genomes: Dict[str, Genome],
+    te_lib: Dict[str, np.ndarray],
+    gold_lib: Dict[str, np.ndarray],
+    cfg: PipelineConfig,
+    out_dir: Optional[str] = None,
+) -> Dict[str, Dict[str, float]]:
+    """Per-genome BM_HiTE evaluation of one TE library (panTE_benchmarking.nf).
+
+    The reference fans `run_benchmarking_single` out per genome
+    (`panTE_benchmarking.nf:28-40`, BM_HiTE.log per genome); here each
+    jax.distributed host evaluates its genome partition and results are
+    exchanged with one all-gather.  BM_EDTA needs the external EDTA
+    `lib-test.pl` protocol and stays out of scope (COMPONENTS.md).
+    """
+    from hite_tpu.parallel import multihost as mh
+    from hite_tpu.pipeline.benchmark import evaluate_library
+
+    my_metrics: Dict[str, Dict[str, float]] = {}
+    for gname in mh.partition(list(genomes.keys())):
+        with stage_timer(f"pan.benchmark.{gname}"):
+            my_metrics[gname] = evaluate_library(
+                genomes[gname], te_lib, gold_lib, cfg)
+    metrics = mh.merge_dicts(mh.allgather_obj(my_metrics))
+    metrics = {n: metrics[n] for n in genomes if n in metrics}
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "pan_benchmark.json"), "w") as fh:
+            json.dump(metrics, fh, indent=2)
+    return metrics
+
+
 def main(argv=None) -> None:
     """Pan-genome CLI (reference panHiTE.py surface).
 
@@ -214,6 +246,12 @@ def main(argv=None) -> None:
     p.add_argument("--miu", type=float, default=1.3e-8)
     p.add_argument("--plant", type=int, default=1)
     p.add_argument("--chrom_seg_length", type=int, default=131_072)
+    # panTE_benchmarking.nf mode: evaluate an existing library per genome
+    p.add_argument("--TE_lib", default=None,
+                   help="existing panTE library: run per-genome BM_HiTE "
+                        "only (panTE_benchmarking.nf)")
+    p.add_argument("--species", default=None,
+                   help="curated benchmark library FASTA path")
     args = p.parse_args(argv)
 
     names: List[str] = []
@@ -233,6 +271,16 @@ def main(argv=None) -> None:
 
     cfg = PipelineConfig(plant=bool(args.plant))
     cfg = cfg.replace(ltr=dataclasses.replace(cfg.ltr, miu=args.miu))
+    if args.TE_lib:
+        from hite_tpu.io.fasta import read_fasta
+        from hite_tpu.pipeline.benchmark import species_library_path
+
+        gold_path = species_library_path(args.species) if args.species else None
+        if gold_path is None:
+            raise SystemExit("--TE_lib mode needs --species (path or name)")
+        pan_benchmark(genomes, read_fasta(args.TE_lib),
+                      read_fasta(gold_path), cfg, out_dir=args.out_dir)
+        return
     run_pan_pipeline(genomes, cfg, out_dir=args.out_dir,
                      coarse_params=CoarseParams(seg_len=args.chrom_seg_length))
 

@@ -1,0 +1,78 @@
+"""Golden-output regression test.
+
+The reference's de-facto acceptance test is file-level: run the pipeline
+and check the six output files (SURVEY.md §4.1).  Its demo genome is a
+missing blob upstream, so the golden here is OUR frozen output on a fixed
+synthetic genome: any behavior drift in discovery, boundary adjustment,
+classification, library assembly, or annotation changes these files.
+
+Regenerate intentionally with:
+    UPDATE_GOLDEN=1 python -m pytest tests/test_golden.py -q
+and review the diff like any other code change.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "pipeline.json")
+
+
+def _snapshot(out_dir):
+    """Normalized view of the pipeline outputs (stable across platforms)."""
+    from hite_tpu.io.fasta import read_fasta_str
+
+    snap = {}
+    lib = read_fasta_str(os.path.join(out_dir, "confident_TE.cons.fa"))
+    snap["library"] = {
+        name: {"len": len(seq), "seq": seq} for name, seq in sorted(lib.items())
+    }
+    gff_lines = []
+    with open(os.path.join(out_dir, "genome.gff")) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            # chrom, start, end, strand, attributes (skip float score digits)
+            gff_lines.append([f[0], f[3], f[4], f[6], f[8]])
+    snap["gff"] = gff_lines
+    for name in ("confident_tir.fa", "confident_helitron.fa",
+                 "confident_non_ltr.fa", "confident_ltr_cut.fa.cons",
+                 "confident_other.fa"):
+        fa = read_fasta_str(os.path.join(out_dir, name))
+        snap[name] = {n: len(s) for n, s in sorted(fa.items())}
+    return snap
+
+
+@pytest.mark.slow
+def test_pipeline_golden(tmp_path):
+    from hite_tpu.config import AlignConfig, PipelineConfig
+    from hite_tpu.genome import synthetic_genome
+    from hite_tpu.pipeline.coarse import CoarseParams
+    from hite_tpu.pipeline.run import run_pipeline
+
+    rng = np.random.default_rng(21)
+    tes = ["".join("ACGT"[c] for c in rng.integers(0, 4, L))
+           for L in (400, 900)]
+    genome, _ = synthetic_genome(60_000, tes, [6, 4], seed=13,
+                                 mutation_rate=0.02)
+    cfg = PipelineConfig(
+        annotate=True,
+        align=AlignConfig(fixed_extend_base_threshold=2000))
+    out = str(tmp_path / "out")
+    run_pipeline(genome, cfg, out_dir=out,
+                 coarse_params=CoarseParams(seg_len=16_384))
+    snap = _snapshot(out)
+
+    if os.environ.get("UPDATE_GOLDEN"):
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        with open(GOLDEN, "w") as fh:
+            json.dump(snap, fh, indent=1, sort_keys=True)
+        pytest.skip("golden regenerated")
+
+    assert os.path.exists(GOLDEN), "golden missing; run with UPDATE_GOLDEN=1"
+    with open(GOLDEN) as fh:
+        want = json.load(fh)
+    assert snap == want, "pipeline output drifted from tests/golden/pipeline.json"

@@ -63,3 +63,28 @@ def test_pan_pipeline(tmp_path):
     assert all(v >= 1 for v in res.occupancy.values())
     # PAV matrix matches occupancy
     assert res.pav.shape == (len(res.pan_lib), 3)
+
+
+def test_pan_benchmark(tmp_path):
+    """panTE_benchmarking.nf equivalent: per-genome BM_HiTE of one lib."""
+    import json as _json
+
+    from hite_tpu.genome import synthetic_genome
+    from hite_tpu.pipeline.pan import pan_benchmark
+
+    rng = np.random.default_rng(5)
+    te = "".join("ACGT"[c] for c in rng.integers(0, 4, 600))
+    gs = {}
+    for i in range(2):
+        g, _ = synthetic_genome(30_000, [te], [5], seed=10 + i,
+                                mutation_rate=0.01)
+        gs[f"g{i}.fa"] = g
+    from hite_tpu.io.fasta import encode_seq
+    lib = {"fam_0#Unknown": encode_seq(te)}
+    cfg = PipelineConfig()
+    metrics = pan_benchmark(gs, lib, lib, cfg, out_dir=str(tmp_path))
+    assert set(metrics) == set(gs)
+    for m in metrics.values():
+        assert m["F1"] > 0.9, m          # lib vs itself: near-perfect
+    saved = _json.load(open(tmp_path / "pan_benchmark.json"))
+    assert set(saved) == set(gs)
