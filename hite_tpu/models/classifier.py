@@ -64,11 +64,25 @@ class SuperfamilyCNN(nn.Module):
         return logits
 
 
-def predict_labels(logits: jnp.ndarray, is_wicker: bool = True):
-    """argmax logits -> label strings (Wicker or RepeatMasker vocabulary)."""
+def predict_labels(logits: jnp.ndarray, is_wicker: bool = True,
+                   restrict=None):
+    """argmax logits -> label strings (Wicker or RepeatMasker vocabulary).
+
+    restrict: optional iterable of Wicker class names — classes outside it
+    are masked before the argmax (e.g. intact LTR elements may only take
+    LTR superfamilies, as NeuralTE's LTR mode does by construction)."""
     import numpy as np
 
-    idx = np.asarray(jnp.argmax(logits, axis=-1))
+    scores = np.asarray(logits, np.float32)
+    if restrict is not None:
+        allowed = {c for c in restrict}
+        mask = np.array([c in allowed for c in WICKER_CLASSES])
+        scores = np.where(mask[None, :], scores, -np.inf)
+    idx = scores.argmax(axis=-1)
     if is_wicker:
         return [WICKER_CLASSES[i] for i in idx]
     return [WICKER_TO_RM[WICKER_CLASSES[i]] for i in idx]
+
+
+LTR_SUPERFAMILIES = ("Copia", "Gypsy", "Bel-Pao", "Retrovirus", "DIRS",
+                     "Ngaro", "VIPER")

@@ -59,6 +59,7 @@ class LTRRecord:
     insert_time: float          # years, T = K / (2 miu)
     tsd_len: int = 0
     copy_count: int = 1
+    superfamily: str = "unknown"   # set by classify_ltr_records
 
 
 @dataclass
@@ -285,3 +286,46 @@ def run_ltr_detection(
         for r, c in zip(records, copies):
             r.copy_count = max(1, len(c))
     return LTRResult(records=records)
+
+
+def classify_ltr_records(
+    genome: Genome,
+    records: List[LTRRecord],
+    cfg,
+    model_path: Optional[str] = None,
+) -> List[LTRRecord]:
+    """Assign LTR superfamilies to intact elements with the trained CNN.
+
+    Reference: NeuralTE classification of intact_LTR.fa (no-TSD model,
+    `judge_LTR_transposons.py:251-264`); predictions are restricted to the
+    LTR superfamilies, as NeuralTE's LTR vocabulary is by construction.
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    from hite_tpu.models import bundled_model_path
+    from hite_tpu.models.classifier import (
+        LTR_SUPERFAMILIES, SuperfamilyCNN, predict_labels)
+    from hite_tpu.models.features import classifier_features
+    from hite_tpu.models.trainer import load_params
+    from hite_tpu.pipeline.candidates import pad_rows, pad_seqs
+
+    if not records:
+        return records
+    model_path = model_path or cfg.classify.model_path or bundled_model_path(
+        "superfamily_cnn.pkl")
+    if not (model_path and os.path.exists(model_path)):
+        logger.warning("ltr classifier model missing; superfamilies unknown")
+        return records
+    params = load_params(model_path)
+    model = SuperfamilyCNN()
+    seqs = [genome.extract(r.start, r.end)[:8192] for r in records]
+    mat, lens = pad_seqs(seqs, n_rows=pad_rows(len(seqs)))
+    X = classifier_features(jnp.asarray(mat), jnp.asarray(lens))
+    logits = model.apply(params, X[: len(records)])
+    labels = predict_labels(logits, is_wicker=cfg.classify.is_wicker,
+                            restrict=LTR_SUPERFAMILIES)
+    for r, lab in zip(records, labels):
+        r.superfamily = lab
+    return records

@@ -194,7 +194,117 @@ def run_pan_pipeline(
             fh.write("family\t" + "\t".join(result.pav_genomes) + "\n")
             for i, f in enumerate(fam_names):
                 fh.write(f + "\t" + "\t".join(map(str, pav[i])) + "\n")
+        ltr_insert_time_outputs(per_genome, out_dir)
     return result
+
+
+def ltr_insert_time_outputs(
+    per_genome: Dict[str, RunResult],
+    out_dir: str,
+    classes: Tuple[str, ...] = ("LTR/Copia", "LTR/Gypsy"),
+) -> str:
+    """Pan-level intact-LTR insertion-time table + boxplot.
+
+    `draw_intact_LTR_insert_time` parity (`Util.py:13379-13409`): a CSV of
+    (Genome, Insertion_Time [Myr], Classification) over the Copia/Gypsy
+    intact elements of every genome, plus a per-genome boxplot PDF.
+    """
+    rows: List[Tuple[str, float, str]] = []
+    for gname, res in per_genome.items():
+        if res.ltr is None:
+            continue
+        for r in res.ltr.records:
+            if r.superfamily in classes:
+                rows.append((gname, r.insert_time / 1e6, r.superfamily))
+    os.makedirs(out_dir, exist_ok=True)
+    csv_path = os.path.join(out_dir, "ltr_insert_time.csv")
+    with open(csv_path, "w") as fh:
+        fh.write("Genome,Insertion_Time,Classification\n")
+        for g, t, c in rows:
+            fh.write(f"{g},{t:.6f},{c}\n")
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        gnames = list(per_genome.keys())
+        fig, ax = plt.subplots(figsize=(max(6, 1.2 * len(gnames)), 6))
+        width = 0.35
+        for ci, cls in enumerate(classes):
+            data = [[t for g2, t, c in rows if g2 == g and c == cls]
+                    for g in gnames]
+            pos = [i + (ci - (len(classes) - 1) / 2) * width
+                   for i in range(len(gnames))]
+            bp = ax.boxplot(data, positions=pos, widths=width * 0.9,
+                            showfliers=False, patch_artist=True)
+            color = ["#4c72b0", "#dd8452"][ci % 2]
+            for box in bp["boxes"]:
+                box.set_facecolor(color)
+        ax.set_xticks(range(len(gnames)))
+        ax.set_xticklabels(gnames, rotation=45, ha="right")
+        ax.set_ylabel("Insertion time (Mya)")
+        ax.legend(handles=[plt.Rectangle((0, 0), 1, 1, fc=c)
+                           for c in ("#4c72b0", "#dd8452")[: len(classes)]],
+                  labels=list(classes))
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "ltr_insert_time.pdf"))
+        plt.close(fig)
+    except Exception as e:               # plotting is best-effort
+        logger.warning("pan: insertion-time plot skipped (%s)", e)
+    return csv_path
+
+
+def preprocess_genome_list(
+    genome_list_path: str,
+    pan_genomes_dir: str,
+    genes_dir: Optional[str] = None,
+    rna_dir: Optional[str] = None,
+    out_dir: Optional[str] = None,
+) -> List[Dict]:
+    """Parse the panHiTE genome list into metadata records.
+
+    Reference `pan_preprocess_genomes.py`: each line is
+    ``genome_name[\\tgene_gff[\\tis_PE\\tRNA1[\\tRNA2|more...]]]``; validates
+    referenced files and writes `genome_metadata.json`.
+    """
+    metas: List[Dict] = []
+    with open(genome_list_path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            meta: Dict = {
+                "genome_name": parts[0],
+                "genome_path": os.path.join(pan_genomes_dir, parts[0]),
+            }
+            if not os.path.exists(meta["genome_path"]):
+                raise FileNotFoundError(meta["genome_path"])
+            if len(parts) >= 2 and parts[1]:
+                if not parts[1].endswith((".gff", ".gff3")):
+                    raise ValueError(
+                        f"gene annotation must be .gff/.gff3: {parts[1]}")
+                gpath = (os.path.join(genes_dir, parts[1])
+                         if genes_dir else parts[1])
+                if not os.path.exists(gpath):
+                    raise FileNotFoundError(gpath)
+                meta["gene_gff"] = gpath
+            if len(parts) > 3:
+                is_pe = bool(int(parts[2]))
+                rna = [os.path.join(rna_dir, p) if rna_dir else p
+                       for p in parts[3:]]
+                for p in rna:
+                    if not os.path.exists(p):
+                        raise FileNotFoundError(p)
+                meta["RNA"] = rna
+                meta["is_PE"] = is_pe
+            metas.append(meta)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "genome_metadata.json"), "w") as fh:
+            json.dump(metas, fh, indent=2)
+    return metas
 
 
 def pan_benchmark(
@@ -242,6 +352,8 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="hite_tpu pan-genome TE analysis")
     p.add_argument("--pan_genomes_dir", required=True)
     p.add_argument("--genome_list", default=None)
+    p.add_argument("--genes_dir", default=None)
+    p.add_argument("--RNA_dir", default=None)
     p.add_argument("--out_dir", default="./pan_out")
     p.add_argument("--miu", type=float, default=1.3e-8)
     p.add_argument("--plant", type=int, default=1)
@@ -256,11 +368,11 @@ def main(argv=None) -> None:
 
     names: List[str] = []
     if args.genome_list:
-        with open(args.genome_list) as fh:
-            for line in fh:
-                line = line.strip()
-                if line:
-                    names.append(line.split("\t")[0])
+        metas = preprocess_genome_list(
+            args.genome_list, args.pan_genomes_dir,
+            genes_dir=args.genes_dir, rna_dir=args.RNA_dir,
+            out_dir=args.out_dir)
+        names = [m["genome_name"] for m in metas]
     else:
         names = sorted(f for f in os.listdir(args.pan_genomes_dir)
                        if f.endswith((".fa", ".fasta", ".fna")))

@@ -190,15 +190,20 @@ def run_pipeline(
 
         def _ltr_stage():
             from hite_tpu.models import bundled_model_path
-            from hite_tpu.pipeline.ltr import LTRResult
+            from hite_tpu.pipeline.ltr import LTRResult, classify_ltr_records
             from hite_tpu.pipeline.ltr_deep import deep_filter_records
+
+            def _classified(res):
+                if cfg.classify.use_neural and res.records:
+                    classify_ltr_records(genome, res.records, cfg)
+                return res
 
             res = run_ltr_detection(genome, cfg, gindex,
                                     seg_len=params.seg_len)
             if not cfg.ltr.use_filtr:
                 # legacy path (--use_FiLTR 0): structural validation only,
                 # as LTR_harvest/finder + LTR_retriever (main.py:186-242)
-                return res
+                return _classified(res)
             # FiLTR frame judgement: flank homology must break at the
             # element boundaries (rule verdict vetoes; the CNN confirms
             # among rule-True high-copy candidates when params exist)
@@ -211,7 +216,9 @@ def run_pipeline(
                     cnn_params = load_params(path)
             res = LTRResult(records=deep_filter_records(
                 genome, res.records, cfg, gindex, cnn_params=cnn_params))
-            return res
+            # NeuralTE-equivalent superfamily call on the intact elements
+            # (judge_LTR_transposons.py:251-264)
+            return _classified(res)
 
         ltr = ckpt.run("ltr", _ltr_stage)
 
@@ -330,17 +337,18 @@ def write_outputs(out_dir: str, genome: Genome, cfg: PipelineConfig,
                     f"{name}:{s + 1}..{s + (r.end - r.start)}\tpass\t"
                     f"motif:TGCA\tTSD:{r.tsd_len}\t.\t.\t"
                     f"IN:{r.lltr_end - r.start}..{r.rltr_start - r.start}\t"
-                    f"{r.identity:.4f}\t+\tunknown\tLTR\t"
+                    f"{r.identity:.4f}\t+\t{r.superfamily}\tLTR\t"
                     f"{int(r.insert_time)}\n")
 
     # LTR insertion-time table (reference draw_intact_LTR_insert_time
     # data, Util.py:13379 — table form; plotting is a client concern)
     if result.ltr is not None and result.ltr.records:
         with open(os.path.join(out_dir, "ltr_insert_time.tsv"), "w") as fh:
-            fh.write("element\tidentity\tinsert_time_years\tcopies\n")
+            fh.write("element\tclassification\tidentity\t"
+                     "insert_time_years\tcopies\n")
             for n, r in enumerate(result.ltr.records):
-                fh.write(f"Intact_LTR_{n}\t{r.identity:.4f}\t"
-                         f"{int(r.insert_time)}\t{r.copy_count}\n")
+                fh.write(f"Intact_LTR_{n}\t{r.superfamily}\t{r.identity:.4f}"
+                         f"\t{int(r.insert_time)}\t{r.copy_count}\n")
 
     with open(os.path.join(out_dir, "stage_times.json"), "w") as fh:
         json.dump({k: round(v, 3) for k, v in STAGE_TIMES.items()}, fh,

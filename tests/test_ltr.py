@@ -67,3 +67,22 @@ def test_ltr_rejects_plain_repeat():
     cfg = PipelineConfig(align=AlignConfig(fixed_extend_base_threshold=2000))
     result = run_ltr_detection(genome, cfg, seg_len=16_384)
     assert len(result.records) == 0
+
+
+def test_classify_ltr_records():
+    from hite_tpu.genome import synthetic_genome
+    from hite_tpu.models.classifier import LTR_SUPERFAMILIES, WICKER_TO_RM
+    from hite_tpu.pipeline.ltr import LTRRecord, classify_ltr_records
+
+    rng = np.random.default_rng(3)
+    te = "".join("ACGT"[c] for c in rng.integers(0, 4, 1200))
+    genome, inserts = synthetic_genome(20_000, [te], [2], seed=4,
+                                       mutation_rate=0.0)
+    recs = [LTRRecord(s, e, s, s + 200, e - 200, e, 0.97, 1e6)
+            for s, e, _ in inserts]
+    cfg = PipelineConfig()
+    out = classify_ltr_records(genome, recs, cfg)
+    allowed = {WICKER_TO_RM[c] for c in LTR_SUPERFAMILIES} | set(
+        LTR_SUPERFAMILIES)
+    for r in out:
+        assert r.superfamily in allowed, r.superfamily

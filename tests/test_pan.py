@@ -88,3 +88,45 @@ def test_pan_benchmark(tmp_path):
         assert m["F1"] > 0.9, m          # lib vs itself: near-perfect
     saved = _json.load(open(tmp_path / "pan_benchmark.json"))
     assert set(saved) == set(gs)
+
+
+def test_preprocess_genome_list(tmp_path):
+    from hite_tpu.pipeline.pan import preprocess_genome_list
+
+    gdir = tmp_path / "genomes"; gdir.mkdir()
+    (gdir / "a.fa").write_text(">chr1\nACGT\n")
+    (gdir / "b.fa").write_text(">chr1\nACGT\n")
+    gff = tmp_path / "a.gff"; gff.write_text("chr1\tx\tgene\t1\t4\t.\t+\t.\tID=g1\n")
+    rna = tmp_path / "r1.fq"; rna.write_text("@r\nACGT\n+\nIIII\n")
+    lst = tmp_path / "list.txt"
+    lst.write_text(f"a.fa\t{gff}\t0\t{rna}\nb.fa\n")
+    metas = preprocess_genome_list(str(lst), str(gdir), out_dir=str(tmp_path))
+    assert len(metas) == 2
+    assert metas[0]["gene_gff"] == str(gff)
+    assert metas[0]["RNA"] == [str(rna)] and metas[0]["is_PE"] is False
+    assert "RNA" not in metas[1]
+    import json as _json
+    saved = _json.load(open(tmp_path / "genome_metadata.json"))
+    assert saved[1]["genome_name"] == "b.fa"
+
+
+def test_ltr_insert_time_outputs(tmp_path):
+    from hite_tpu.pipeline.ltr import LTRRecord, LTRResult
+    from hite_tpu.pipeline.pan import ltr_insert_time_outputs
+    from hite_tpu.pipeline.run import RunResult
+
+    def rec(t, sf):
+        return LTRRecord(0, 100, 0, 20, 80, 100, 0.98, t, superfamily=sf)
+
+    per = {
+        "g1": RunResult(libs={}, ltr=LTRResult(records=[
+            rec(1.2e6, "LTR/Copia"), rec(3e6, "LTR/Gypsy"),
+            rec(9e6, "LTR/Pao")])),
+        "g2": RunResult(libs={}, ltr=LTRResult(records=[
+            rec(2e6, "LTR/Copia")])),
+    }
+    csv_path = ltr_insert_time_outputs(per, str(tmp_path))
+    lines = open(csv_path).read().strip().split("\n")
+    assert lines[0] == "Genome,Insertion_Time,Classification"
+    assert len(lines) == 4  # Pao excluded
+    assert (tmp_path / "ltr_insert_time.pdf").exists()
