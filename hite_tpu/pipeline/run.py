@@ -76,10 +76,15 @@ def _rescue_low_copy(genome: Genome, cfg: PipelineConfig, *, tir=None,
     near-intact TE protein domain into the accepted set of their module."""
     from hite_tpu.pipeline.domain import DomainScanner, rescue_by_domain
 
+    # TIRPeps/HelitronPeps are vendored from the reference's library/ data
+    # assets; LINEPeps.lib is a missing blob upstream too, so the non-LTR
+    # rescue only activates when a user supplies it (HITE_TPU_LIBRARY_DIR)
+    lib_dir = os.environ.get("HITE_TPU_LIBRARY_DIR",
+                             os.path.join(DATA_DIR, "protein"))
     lib_for = {
         "tir": os.path.join(DATA_DIR, "protein", "TIRPeps.lib"),
         "helitron": os.path.join(DATA_DIR, "protein", "HelitronPeps.lib"),
-        "non_ltr": os.path.join(DATA_DIR, "protein", "TIRPeps.lib"),
+        "non_ltr": os.path.join(lib_dir, "LINEPeps.lib"),
     }
     rescued_total = 0
     for key, mod in (("tir", tir), ("helitron", helitron),
