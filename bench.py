@@ -50,9 +50,11 @@ def main() -> None:
     # warmup (compile)
     coarse_discover(genome, cfg, params)
 
+    # coarse_discover returns host numpy (fully synced) — do NOT append a
+    # jnp op here: an un-jitted dispatch costs ~0.4s over the axon tunnel
+    # and was being counted inside the timed window
     t0 = time.perf_counter()
     cands = coarse_discover(genome, cfg, params)
-    jax.block_until_ready(jax.numpy.zeros(()))
     dt = time.perf_counter() - t0
 
     mbp_s = genome_bp / 1e6 / dt
