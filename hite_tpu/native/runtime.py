@@ -100,3 +100,28 @@ def merge_intervals(iv: np.ndarray, gap: int = 0) -> np.ndarray:
         ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(iv), gap)
     return np.stack([starts[:m], ends[:m]], axis=1)
+
+
+def fmea_chain(qs: np.ndarray, qe: np.ndarray, ss: np.ndarray,
+               se: np.ndarray, extend_threshold: int,
+               min_len: int = 80) -> Optional[np.ndarray]:
+    """Native FMEA greedy chaining; None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "fmea_chain"):
+        return None
+    n = len(qs)
+    if n == 0:
+        return np.zeros((0, 4), dtype=np.int64)
+    arrs = [np.ascontiguousarray(a, dtype=np.int64) for a in (qs, qe, ss, se)]
+    out = np.empty((n, 4), dtype=np.int64)
+    lib.fmea_chain.argtypes = [ctypes.POINTER(ctypes.c_int64)] * 4 + [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.fmea_chain.restype = ctypes.c_int64
+    m = lib.fmea_chain(
+        *(a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)) for a in arrs),
+        n, int(extend_threshold), int(min_len),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out[:m].copy()

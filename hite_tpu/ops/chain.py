@@ -134,7 +134,39 @@ def chain_hsps_host(
     Intended for the (small, compacted) HSP output of the global self-join
     kernel, where chaining on-device would need a long sequential scan.
     Returns int64 [C, 4] chains as (qs, qe, ss, se).
+
+    Dispatches to the native C++ implementation (`native/chain.cc`) when
+    the host library is available; this Python loop is the oracle and
+    fallback (tests assert they agree).
     """
+    import numpy as np
+
+    if len(qs) == 0:
+        return np.zeros((0, 4), dtype=np.int64)
+
+    try:
+        from hite_tpu.native import runtime as native_rt
+
+        out = native_rt.fmea_chain(qs, qe, ss, se, extend_threshold, min_len)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return chain_hsps_host_py(qs, qe, ss, se,
+                              extend_threshold=extend_threshold,
+                              min_len=min_len)
+
+
+def chain_hsps_host_py(
+    qs: "np.ndarray",
+    qe: "np.ndarray",
+    ss: "np.ndarray",
+    se: "np.ndarray",
+    *,
+    extend_threshold: int,
+    min_len: int = 80,
+) -> "np.ndarray":
+    """Pure-Python FMEA chaining (the oracle for native/chain.cc)."""
     import numpy as np
 
     if len(qs) == 0:
