@@ -75,25 +75,22 @@ class JoinHSPs(NamedTuple):
     n_pairs: jnp.ndarray  # int32 [] seed pairs before the budget cut
 
 
-@partial(jax.jit, static_argnames=(
-    "k", "window", "diag_band", "run_gap", "min_seeds", "min_hsp_len",
-    "max_hsps", "max_seed_pairs"))
-def selfjoin_hsps(
+@partial(jax.jit, static_argnames=("k", "window", "diag_band"))
+def selfjoin_sorted(
     flat: jnp.ndarray,
     *,
     k: int,
     window: int = 4,
     diag_band: int = 32,
-    run_gap: int = 96,
-    min_seeds: int = 4,
-    min_hsp_len: int = 30,
-    max_hsps: int = 16_384,
-    max_seed_pairs: int = 1 << 20,
-) -> JoinHSPs:
-    """All-genome repeat seed HSPs from one code sort + D shifted compares.
+):
+    """Stage 1: k-mer sorts + diag-sorted seed stream + exact pair count.
 
     flat: uint8 [L] genome codes (A0 C1 G2 T3, N/masked=4).  N windows never
-    match (kmer code -1 -> sorted to the invalid tail).
+    match (kmer code -1 -> sorted to the invalid tail).  Returns device
+    arrays (s_dbin, s_qpos, s_spos, n_pairs): the (diag band, qpos)-sorted
+    seed stream with invalid entries at the tail, plus the number of real
+    seed pairs — so the caller can size the stage-2 scan (budget_slices)
+    BEFORE running it, with only one scalar fetch in between.
     """
     L = flat.shape[-1]
     km_f = kmer_codes(flat, k)
@@ -126,53 +123,135 @@ def selfjoin_hsps(
     n_pairs = jnp.sum(ok.astype(jnp.int32))
 
     # Group co-diagonal seeds: global 2-key int32 sort by (diag band, qpos);
-    # invalid entries carry INT32_MAX keys and sort to the tail, so the
-    # fixed-size prefix below holds the first `max_seed_pairs` real pairs.
+    # invalid entries carry INT32_MAX keys and sort to the tail, so a
+    # fixed-size prefix holds the first `max_seed_pairs` real pairs.
     dbin = (sv - qv) // diag_band
     s_dbin, s_qpos, s_spos = jax.lax.sort(
         (jnp.where(ok, dbin, INT32_MAX), jnp.where(ok, qv, INT32_MAX), sv),
         num_keys=2,
     )
-    S = min(max_seed_pairs, s_qpos.shape[0])
-    s_dbin, s_qpos, s_spos = s_dbin[:S], s_qpos[:S], s_spos[:S]
-    valid = s_dbin != INT32_MAX
-
-    # Run detection on the fixed-size prefix (compiles once per budget).
-    prev_dbin = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_dbin[:-1]])
-    prev_qpos = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_qpos[:-1]])
-    brk = (s_dbin != prev_dbin) | (s_qpos - prev_qpos > run_gap)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0).squeeze(-1)
-    run_start = jax.lax.cummax(jnp.where(brk, idx, -1))
-    start_q = jnp.take(s_qpos, run_start)
-    start_s = jnp.take(s_spos, run_start)
-    nseeds = idx - run_start + 1
-    qs, qe = start_q, s_qpos + k
-    ss = jnp.minimum(start_s, s_spos)
-    se = jnp.maximum(start_s, s_spos) + k
-
-    nxt_brk = jnp.concatenate([brk[1:], jnp.ones((1,), jnp.bool_)])
-    is_end = valid & nxt_brk
-    good = is_end & (nseeds >= min_seeds) & (qe - qs >= min_hsp_len)
-
-    (sel,) = jnp.nonzero(good, size=max_hsps, fill_value=S - 1)
-    count = jnp.sum(good)
-    out_valid = jax.lax.broadcasted_iota(
-        jnp.int32, (max_hsps, 1), 0).squeeze(-1) < count
-    take = lambda a: jnp.where(out_valid, jnp.take(a, sel), 0)
-    return JoinHSPs(qs=take(qs), qe=take(qe), ss=take(ss), se=take(se),
-                    nseeds=take(nseeds), valid=out_valid, n_pairs=n_pairs)
+    return s_dbin, s_qpos, s_spos, n_pairs
 
 
 @partial(jax.jit, static_argnames=(
-    "k", "window", "diag_band", "run_gap", "min_seeds", "min_hsp_len",
-    "max_hsps", "max_seed_pairs"))
-def selfjoin_hsps_packed(flat: jnp.ndarray, **kw) -> jnp.ndarray:
-    """`selfjoin_hsps` packed into ONE int32 [6, max_hsps] device array:
-    rows qs, qe, ss, se, valid, n_pairs (broadcast).  One host fetch
-    instead of seven — the axon tunnel pays a round trip per transfer,
-    which dominated the measured coarse stage (selfjoin compute is ~0.1 s
-    at 2Mbp; the un-batched fetches were ~0.7 s)."""
-    hs = selfjoin_hsps(flat, **kw)
+    "k", "run_gap", "min_seeds", "min_hsp_len", "max_hsps",
+    "max_seed_pairs", "budget_slices"))
+def selfjoin_scan(
+    s_dbin: jnp.ndarray,
+    s_qpos: jnp.ndarray,
+    s_spos: jnp.ndarray,
+    n_pairs: jnp.ndarray,
+    *,
+    k: int,
+    run_gap: int = 96,
+    min_seeds: int = 4,
+    min_hsp_len: int = 30,
+    max_hsps: int = 16_384,
+    max_seed_pairs: int = 1 << 20,
+    budget_slices: int = 1,
+) -> JoinHSPs:
+    """Stage 2: run detection + HSP compaction on the sorted seed stream.
+
+    Processes `budget_slices` consecutive budget-sized slices (vmapped for
+    slices > 1): each slice's run detection is independent — a run crossing
+    a slice boundary splits into two HSPs, which downstream FMEA chaining
+    re-merges (extend_threshold >> run_gap).  Compiles once per
+    (budget, slices); callers round slices up to a power of two so only
+    log2 variants ever compile.
+    """
+    K = budget_slices
+    S = min(max_seed_pairs, s_qpos.shape[0])
+    quota = max(1, max_hsps // K)
+
+    def one_slice(s_dbin, s_qpos, s_spos):
+        valid = s_dbin != INT32_MAX
+        prev_dbin = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), s_dbin[:-1]])
+        prev_qpos = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), s_qpos[:-1]])
+        brk = (s_dbin != prev_dbin) | (s_qpos - prev_qpos > run_gap)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0).squeeze(-1)
+        run_start = jax.lax.cummax(jnp.where(brk, idx, -1))
+        start_q = jnp.take(s_qpos, run_start)
+        start_s = jnp.take(s_spos, run_start)
+        nseeds = idx - run_start + 1
+        qs, qe = start_q, s_qpos + k
+        ss = jnp.minimum(start_s, s_spos)
+        se = jnp.maximum(start_s, s_spos) + k
+
+        nxt_brk = jnp.concatenate([brk[1:], jnp.ones((1,), jnp.bool_)])
+        is_end = valid & nxt_brk
+        good = is_end & (nseeds >= min_seeds) & (qe - qs >= min_hsp_len)
+
+        (sel,) = jnp.nonzero(good, size=quota, fill_value=S - 1)
+        count = jnp.sum(good)
+        out_valid = jax.lax.broadcasted_iota(
+            jnp.int32, (quota, 1), 0).squeeze(-1) < count
+        take = lambda a: jnp.where(out_valid, jnp.take(a, sel), 0)
+        return (take(qs), take(qe), take(ss), take(se), take(nseeds),
+                out_valid)
+
+    if K == 1:
+        # fast path: the batched (vmapped) scan section compiles AND runs
+        # markedly worse even at K=1 on this toolchain (batched cummax),
+        # so the common case stays unbatched
+        qs, qe, ss, se, nseeds, out_valid = one_slice(
+            s_dbin[:S], s_qpos[:S], s_spos[:S])
+        return JoinHSPs(qs=qs, qe=qe, ss=ss, se=se, nseeds=nseeds,
+                        valid=out_valid, n_pairs=n_pairs)
+
+    total = min(K * S, s_qpos.shape[0])
+    pad = K * S - total
+    if pad:
+        padv = jnp.full((pad,), INT32_MAX, jnp.int32)
+        s_dbin = jnp.concatenate([s_dbin[:total], padv]).reshape(K, S)
+        s_qpos = jnp.concatenate([s_qpos[:total], padv]).reshape(K, S)
+        s_spos = jnp.concatenate([s_spos[:total], padv]).reshape(K, S)
+    else:
+        s_dbin = s_dbin[:total].reshape(K, S)
+        s_qpos = s_qpos[:total].reshape(K, S)
+        s_spos = s_spos[:total].reshape(K, S)
+    qs, qe, ss, se, nseeds, out_valid = jax.vmap(one_slice)(
+        s_dbin, s_qpos, s_spos)
+    flat_ = lambda a: a.reshape(-1)
+    return JoinHSPs(qs=flat_(qs), qe=flat_(qe), ss=flat_(ss), se=flat_(se),
+                    nseeds=flat_(nseeds), valid=flat_(out_valid),
+                    n_pairs=n_pairs)
+
+
+def selfjoin_hsps(
+    flat: jnp.ndarray,
+    *,
+    k: int,
+    window: int = 4,
+    diag_band: int = 32,
+    run_gap: int = 96,
+    min_seeds: int = 4,
+    min_hsp_len: int = 30,
+    max_hsps: int = 16_384,
+    max_seed_pairs: int = 1 << 20,
+    budget_slices: int = 1,
+) -> JoinHSPs:
+    """All-genome repeat seed HSPs (stage1 + stage2 convenience wrapper)."""
+    s_dbin, s_qpos, s_spos, n_pairs = selfjoin_sorted(
+        flat, k=k, window=window, diag_band=diag_band)
+    return selfjoin_scan(
+        s_dbin, s_qpos, s_spos, n_pairs, k=k, run_gap=run_gap,
+        min_seeds=min_seeds, min_hsp_len=min_hsp_len, max_hsps=max_hsps,
+        max_seed_pairs=max_seed_pairs, budget_slices=budget_slices)
+
+
+@partial(jax.jit, static_argnames=(
+    "k", "run_gap", "min_seeds", "min_hsp_len", "max_hsps",
+    "max_seed_pairs", "budget_slices"))
+def selfjoin_scan_packed(s_dbin, s_qpos, s_spos, n_pairs,
+                         **kw) -> jnp.ndarray:
+    """`selfjoin_scan` packed into ONE int32 [6, max_hsps-ish] device
+    array: rows qs, qe, ss, se, valid, n_pairs (broadcast).  One host
+    fetch instead of seven — the axon tunnel pays a round trip per
+    transfer, which dominated the measured coarse stage (selfjoin compute
+    is ~0.1 s at 2Mbp; the un-batched fetches were ~0.7 s)."""
+    hs = selfjoin_scan(s_dbin, s_qpos, s_spos, n_pairs, **kw)
     return jnp.stack([hs.qs, hs.qe, hs.ss, hs.se,
                       hs.valid.astype(jnp.int32),
                       jnp.full_like(hs.qs, hs.n_pairs)])

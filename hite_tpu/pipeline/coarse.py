@@ -53,6 +53,7 @@ class CoarseParams:
     window: int = 4               # selfjoin: pair each entry with <=W run neighbors
     max_hsps_global: int = 32_768
     max_seed_pairs: int = 1 << 20  # scan-section budget (see ops.selfjoin)
+    max_budget_slices: int = 64   # saturation retry cap (64 -> 64M seed pairs)
 
 
 @functools.lru_cache(maxsize=32)
@@ -162,7 +163,7 @@ def _selfjoin_intervals(
 ) -> np.ndarray:
     """Candidate intervals via the whole-genome self-join kernel."""
     from hite_tpu.ops.chain import chain_hsps_host
-    from hite_tpu.ops.selfjoin import selfjoin_hsps_packed
+    from hite_tpu.ops.selfjoin import selfjoin_scan_packed, selfjoin_sorted
 
     # cached device upload + single packed fetch: the axon tunnel pays a
     # round trip per transfer, which dominated this stage (the selfjoin
@@ -171,17 +172,30 @@ def _selfjoin_intervals(
     Lp = flat_d.shape[0]
 
     with stage_timer("coarse.selfjoin"):
-        packed = np.asarray(selfjoin_hsps_packed(
+        # stage 1 (sorts + exact pair count) runs first so the scan stage
+        # is sized correctly up front — no wasted saturated run; slices
+        # round up to a power of two so only log2 variants ever compile
+        s_dbin, s_qpos, s_spos, n_pairs_d = selfjoin_sorted(
             flat_d, k=cfg.kmer_size, window=p.window,
-            diag_band=p.diag_band, run_gap=p.run_gap, min_seeds=p.min_seeds,
-            min_hsp_len=cfg.min_hsp_len, max_hsps=p.max_hsps_global,
-            max_seed_pairs=p.max_seed_pairs))
-        n_pairs = int(packed[5, 0])
-        if n_pairs > p.max_seed_pairs:
+            diag_band=p.diag_band)
+        n_pairs = int(n_pairs_d)
+        need = -(-n_pairs // p.max_seed_pairs)
+        slices = 1 if need <= 1 else 1 << (need - 1).bit_length()
+        if slices > p.max_budget_slices:
+            slices = p.max_budget_slices
             logger.warning(
-                "coarse.selfjoin: %d seed pairs exceed the %d budget; "
-                "high-diagonal-band seeds dropped (raise "
-                "CoarseParams.max_seed_pairs)", n_pairs, p.max_seed_pairs)
+                "coarse.selfjoin: %d seed pairs exceed %d slices x %d "
+                "budget; high-diagonal-band seeds dropped (raise "
+                "CoarseParams.max_budget_slices)", n_pairs, slices,
+                p.max_seed_pairs)
+        elif slices > 1:
+            logger.info("coarse.selfjoin: %d seed pairs -> %d scan slices",
+                        n_pairs, slices)
+        packed = np.asarray(selfjoin_scan_packed(
+            s_dbin, s_qpos, s_spos, n_pairs_d, k=cfg.kmer_size,
+            run_gap=p.run_gap, min_seeds=p.min_seeds,
+            min_hsp_len=cfg.min_hsp_len, max_hsps=p.max_hsps_global,
+            max_seed_pairs=p.max_seed_pairs, budget_slices=slices))
         valid = packed[4].astype(bool)
         qs, qe, ss, se = (packed[i][valid] for i in range(4))
 

@@ -172,6 +172,10 @@ def build_library(
         if model_path:
             libs["merged"] = refine_labels(libs["merged"], cfg,
                                            model_path=model_path)
+    # RepeatClassifier-style homology labelling against the curated lib
+    # for anything still Unknown (TEClass_parallel.py semantics)
+    if curated and libs.get("merged"):
+        libs["merged"] = classify_by_homology(libs["merged"], curated, cfg)
     logger.info("library: %d merged entries", len(libs.get("merged", {})))
     return libs
 
@@ -215,4 +219,59 @@ def refine_labels(merged: Dict[str, np.ndarray],
             out[n] = seq
     logger.info("library: refined %d labels with the neural classifier",
                 len(target))
+    return out
+
+
+def classify_by_homology(
+    merged: Dict[str, np.ndarray],
+    curated: Dict[str, np.ndarray],
+    cfg: PipelineConfig,
+    min_cov: float = 0.8,
+) -> Dict[str, np.ndarray]:
+    """RepeatClassifier-style homology labelling against a classified lib.
+
+    The reference's non-neural classification path is RepeatClassifier
+    (`classification/TEClass_parallel.py`), which assigns the label of the
+    best homologous entry in a curated classified library.  Here: chain
+    hits between the merged lib and the curated entries; an Unknown entry
+    covered >= min_cov of its length by one curated entry takes that
+    entry's `#Class` label.
+    """
+    from hite_tpu.pipeline.libcluster import _all_pairs_hits
+
+    unknown = [n for n in merged if n.partition("#")[2] in
+               ("", "Unknown", "DNA", "LINE")]
+    if not unknown or not curated:
+        return merged
+    cur_names = [n for n in curated if "#" in n]
+    pool = [merged[n] for n in unknown] + [curated[n] for n in cur_names]
+    hits = _all_pairs_hits(pool, cfg.align)
+    n_t = len(unknown)
+    relabel: Dict[str, str] = {}
+    for i, name in enumerate(unknown):
+        L = len(merged[name])
+        best = (0.0, None)
+        by_j: Dict[int, int] = {}
+        for (j, _qs, _qe, os_, oe, _ns) in hits[i]:
+            if j < n_t:           # hit on another test entry
+                continue
+            by_j[j] = by_j.get(j, 0) + (oe - os_)
+        for j, bp in by_j.items():
+            frac = min(1.0, bp / max(L, 1))
+            if frac > best[0]:
+                best = (frac, j)
+        if best[1] is not None and best[0] >= min_cov:
+            label = cur_names[best[1] - n_t].partition("#")[2]
+            if label:
+                relabel[name] = label
+    if not relabel:
+        return merged
+    out: Dict[str, np.ndarray] = {}
+    for n, seq in merged.items():
+        if n in relabel:
+            out[f"{n.partition('#')[0]}#{relabel[n]}"] = seq
+        else:
+            out[n] = seq
+    logger.info("library: homology-labelled %d entries from curated lib",
+                len(relabel))
     return out

@@ -180,3 +180,32 @@ def test_coarse_selfjoin_matches_pairgrid_recall():
     assert (cov > 0.8).all(), cov
     total_cand = iv.total_length(cands)
     assert total_cand < 3 * iv.total_length(planted) + 2000
+
+
+def test_selfjoin_budget_slices_equivalence():
+    """Sliced scan section finds the same chains as one big budget.
+
+    Runs split at slice borders re-merge during FMEA chaining, so the
+    candidate intervals must match.
+    """
+    from hite_tpu.config import AlignConfig
+    from hite_tpu.genome import synthetic_genome
+    from hite_tpu.pipeline.coarse import CoarseParams, coarse_discover
+
+    rng = np.random.default_rng(2)
+    tes = ["".join("ACGT"[c] for c in rng.integers(0, 4, L))
+           for L in (500, 1200)]
+    genome, _ = synthetic_genome(120_000, tes, [12, 6], seed=7,
+                                 mutation_rate=0.02)
+    cfg = AlignConfig(fixed_extend_base_threshold=2000)
+    big = coarse_discover(genome, cfg, CoarseParams(max_seed_pairs=1 << 18))
+    # small budget saturates -> adaptive retry with slices
+    small = coarse_discover(
+        genome, cfg, CoarseParams(max_seed_pairs=1 << 12,
+                                  max_budget_slices=64))
+    assert len(big) > 0
+    # every "big" candidate is recovered (within dedup rounding slack)
+    def key(iv):
+        return {(int(s) // 20, int(e) // 20) for s, e in iv}
+    missing = key(big) - key(small)
+    assert not missing, (len(big), len(small), list(missing)[:5])

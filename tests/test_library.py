@@ -132,3 +132,25 @@ def test_clean_genome_drops_redundant(cfg):
     assert "c2" not in name_map
     assert len(genome.names) == 2
     assert genome.names == ["Chr1", "Chr2"]
+
+
+def test_classify_by_homology():
+    from hite_tpu.io.fasta import encode_seq
+    from hite_tpu.pipeline.library import classify_by_homology
+
+    rng = np.random.default_rng(9)
+    te = "".join("ACGT"[c] for c in rng.integers(0, 4, 900))
+    other = "".join("ACGT"[c] for c in rng.integers(0, 4, 700))
+    merged = {
+        "fam_0#Unknown": encode_seq(te),
+        "fam_1#DNA/hAT": encode_seq(other),   # already labelled: untouched
+    }
+    curated = {"gold#LTR/Gypsy": encode_seq(te)}
+    cfg = PipelineConfig()
+    out = classify_by_homology(merged, curated, cfg)
+    assert "fam_0#LTR/Gypsy" in out
+    assert "fam_1#DNA/hAT" in out
+    # no curated homolog -> label survives as Unknown
+    merged2 = {"fam_0#Unknown": encode_seq(other[:600])}
+    out2 = classify_by_homology(merged2, curated, cfg)
+    assert "fam_0#Unknown" in out2
