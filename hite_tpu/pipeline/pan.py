@@ -307,6 +307,95 @@ def preprocess_genome_list(
     return metas
 
 
+def pan_downstream_analysis(
+    genomes: Dict[str, Genome],
+    pan_result: PanResult,
+    metas: List[Dict],
+    cfg: PipelineConfig,
+    out_dir: str,
+    window: int = 10_000,
+) -> Dict[str, int]:
+    """panHiTE stages 4-7 (SURVEY.md §3.5): per-genome annotation with the
+    pan library, gene<->TE associations, RNA-seq quantification, and
+    TE-insertion DE-gene detection.
+
+    metas: records from `preprocess_genome_list` (gene_gff / RNA optional
+    per genome).  Per-genome annotation fans out over jax.distributed
+    hosts like the per-genome HiTE runs.  Returns summary counts.
+    """
+    from hite_tpu.parallel import multihost as mh
+    from hite_tpu.pipeline import rnaseq as rs
+    from hite_tpu.pipeline.annotate import annotate_genome, write_annotation
+
+    os.makedirs(out_dir, exist_ok=True)
+    meta_by = {m["genome_name"]: m for m in metas}
+    pan_lib = pan_result.pan_lib
+
+    # stage 4: per-genome annotation with panTE.fa (pan_annotate_genome)
+    my_hits: Dict[str, list] = {}
+    for gname in mh.partition(list(genomes.keys())):
+        with stage_timer(f"pan.annotate.{gname}"):
+            my_hits[gname] = annotate_genome(genomes[gname], pan_lib, cfg)
+            write_annotation(os.path.join(out_dir, f"{gname}"),
+                             my_hits[gname], genomes[gname])
+    all_hits = mh.merge_dicts(mh.allgather_obj(my_hits))
+
+    # stage 5: gene<->TE associations (pan_gene_te_relation)
+    associations: list = []
+    genes_by: Dict[str, list] = {}
+    for gname, m in meta_by.items():
+        if "gene_gff" not in m or gname not in all_hits:
+            continue
+        genes = rs.read_gtf_features(m["gene_gff"], feature_type="gene")
+        if not genes:  # GFFs without explicit gene rows
+            genes = rs.read_gtf_features(m["gene_gff"])
+        genes_by[gname] = genes
+        tes = rs.features_from_hits(all_hits[gname])
+        associations += rs.associate_genes_tes(gname, genes, tes, window)
+    if associations:
+        rs.write_associations(
+            os.path.join(out_dir, "gene_te_associations.tsv"), associations)
+
+    # stage 6: RNA-seq quantification per genome (pan_detect_de_genes's
+    # trim -> map -> featureCounts -> normalise front half)
+    per_sample: Dict[str, Dict[str, Dict[str, float]]] = {}
+    for gname in mh.partition(list(genomes.keys())):
+        m = meta_by.get(gname)
+        if not m or "RNA" not in m or gname not in genes_by:
+            continue
+        with stage_timer(f"pan.rnaseq.{gname}"):
+            reads: list = []
+            quals: list = []
+            for path in m["RNA"]:
+                s, q = rs.read_fastq(path)
+                reads += s
+                quals += q
+            trimmed = rs.trim_reads(reads, quals)
+            feats = genes_by[gname] + rs.features_from_hits(all_hits[gname])
+            per_sample[gname] = rs.quantify_sample(
+                genomes[gname], trimmed, feats, cfg.align)
+    per_sample = mh.merge_dicts(mh.allgather_obj(per_sample))
+    n_de = 0
+    if per_sample:
+        rs.merge_expression_tables(
+            per_sample, os.path.join(out_dir, "gene_express.table"))
+        # stage 7: DE detection against TE-insertion positions
+        gene_ids = {g.feature_id for gs in genes_by.values() for g in gs}
+        expression: Dict[str, Dict[str, float]] = {}
+        for sname, table in per_sample.items():
+            for feat, row in table.items():
+                if feat in gene_ids:
+                    expression.setdefault(feat, {})[sname] = row["tpm"]
+        results = rs.detect_de_genes(expression, associations)
+        rs.write_de_genes(out_dir, results)
+        n_de = sum(r.significant for r in results)
+    logger.info("pan analysis: %d genomes annotated, %d associations, "
+                "%d samples quantified, %d DE genes",
+                len(all_hits), len(associations), len(per_sample), n_de)
+    return {"annotated": len(all_hits), "associations": len(associations),
+            "samples": len(per_sample), "de_genes": n_de}
+
+
 def pan_benchmark(
     genomes: Dict[str, Genome],
     te_lib: Dict[str, np.ndarray],
@@ -358,6 +447,9 @@ def main(argv=None) -> None:
     p.add_argument("--miu", type=float, default=1.3e-8)
     p.add_argument("--plant", type=int, default=1)
     p.add_argument("--chrom_seg_length", type=int, default=131_072)
+    p.add_argument("--skip_analyze", type=int, default=0,
+                   help="only build panTE.fa; skip annotation/gene-TE/"
+                        "RNA-seq analytics (panHiTE --skip_analyze)")
     # panTE_benchmarking.nf mode: evaluate an existing library per genome
     p.add_argument("--TE_lib", default=None,
                    help="existing panTE library: run per-genome BM_HiTE "
@@ -367,6 +459,7 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     names: List[str] = []
+    metas: List[Dict] = []
     if args.genome_list:
         metas = preprocess_genome_list(
             args.genome_list, args.pan_genomes_dir,
@@ -376,6 +469,7 @@ def main(argv=None) -> None:
     else:
         names = sorted(f for f in os.listdir(args.pan_genomes_dir)
                        if f.endswith((".fa", ".fasta", ".fna")))
+        metas = [{"genome_name": n} for n in names]
 
     genomes = {n: Genome.from_fasta(os.path.join(args.pan_genomes_dir, n))
                for n in names}
@@ -393,8 +487,11 @@ def main(argv=None) -> None:
         pan_benchmark(genomes, read_fasta(args.TE_lib),
                       read_fasta(gold_path), cfg, out_dir=args.out_dir)
         return
-    run_pan_pipeline(genomes, cfg, out_dir=args.out_dir,
-                     coarse_params=CoarseParams(seg_len=args.chrom_seg_length))
+    result = run_pan_pipeline(
+        genomes, cfg, out_dir=args.out_dir,
+        coarse_params=CoarseParams(seg_len=args.chrom_seg_length))
+    if not args.skip_analyze:
+        pan_downstream_analysis(genomes, result, metas, cfg, args.out_dir)
 
 
 def gene_te_associations(

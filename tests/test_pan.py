@@ -130,3 +130,50 @@ def test_ltr_insert_time_outputs(tmp_path):
     assert lines[0] == "Genome,Insertion_Time,Classification"
     assert len(lines) == 4  # Pao excluded
     assert (tmp_path / "ltr_insert_time.pdf").exists()
+
+
+def test_pan_downstream_analysis(tmp_path):
+    """panHiTE stages 4-7: annotation + gene<->TE + RNA-seq + DE wiring."""
+    from hite_tpu.genome import synthetic_genome
+    from hite_tpu.io.fasta import decode_seq, encode_seq
+    from hite_tpu.pipeline.pan import PanResult, pan_downstream_analysis
+
+    rng = np.random.default_rng(12)
+    te = "".join("ACGT"[c] for c in rng.integers(0, 4, 500))
+    gs, metas = {}, []
+    for i in range(2):
+        g, inserts = synthetic_genome(40_000, [te], [3], seed=20 + i,
+                                      mutation_rate=0.0)
+        name = f"g{i}.fa"
+        gs[name] = g
+        # gene next to the first TE insertion
+        s0 = inserts[0][0]
+        gene_s, gene_e = max(1, s0 - 3000), max(100, s0 - 1000)
+        gff = tmp_path / f"{name}.gff"
+        gff.write_text(f"chr1\tsrc\tgene\t{gene_s}\t{gene_e}\t.\t+\t.\t"
+                       f'gene_id "geneA"\n')
+        meta = {"genome_name": name, "gene_gff": str(gff)}
+        # RNA reads from the gene body for genome 0 only
+        if i == 0:
+            seq = decode_seq(g.flat[gene_s - 1 + 50 : gene_s - 1 + 150])
+            fq = tmp_path / "r.fq"
+            with open(fq, "w") as fh:
+                for r in range(6):
+                    fh.write(f"@r{r}\n{seq}\n+\n{'I' * len(seq)}\n")
+            meta["RNA"] = [str(fq)]
+            meta["is_PE"] = False
+        metas.append(meta)
+
+    pan = PanResult(pan_lib={"fam_0#Unknown": encode_seq(te)}, per_genome={})
+    cfg = PipelineConfig()
+    out = str(tmp_path / "out")
+    summary = pan_downstream_analysis(gs, pan, metas, cfg, out)
+    assert summary["annotated"] == 2
+    assert summary["associations"] >= 1
+    assert summary["samples"] == 1
+    assert os.path.exists(os.path.join(out, "gene_te_associations.tsv"))
+    assert os.path.exists(os.path.join(out, "gene_express.table"))
+    assert os.path.exists(os.path.join(out, "g0.fa.gff"))
+    # the gene reads must land on geneA
+    tbl = open(os.path.join(out, "gene_express.table")).read()
+    assert "geneA" in tbl
