@@ -53,7 +53,14 @@ class CoarseParams:
     window: int = 4               # selfjoin: pair each entry with <=W run neighbors
     max_hsps_global: int = 32_768
     max_seed_pairs: int = 1 << 20  # scan-section budget (see ops.selfjoin)
-    max_budget_slices: int = 64   # saturation retry cap (64 -> 64M seed pairs)
+    max_budget_slices: int = 64   # saturation cap (64 -> 64M seed pairs)
+    # per-call cap on the whole-genome selfjoin: the sorted pair stream
+    # costs ~24 B/bp of HBM, so genomes past this size run as overlapping
+    # chunks (halo = max_repeat_len; duplicates collapse in dedup).  Like
+    # the reference's 400MB chunks (main.py:508-639), copies that never
+    # share a chunk cannot pair — 67Mbp keeps that risk below the
+    # reference's.
+    max_selfjoin_bp: int = 1 << 26
 
 
 @functools.lru_cache(maxsize=32)
@@ -159,16 +166,53 @@ def _chains_to_intervals(
 
 
 def _selfjoin_intervals(
-    genome: Genome, cfg: AlignConfig, p: CoarseParams, use_masked: bool
+    genome: Genome, cfg: AlignConfig, p: CoarseParams, use_masked: bool,
+    halo: int = 30_000,
 ) -> np.ndarray:
-    """Candidate intervals via the whole-genome self-join kernel."""
-    from hite_tpu.ops.chain import chain_hsps_host
-    from hite_tpu.ops.selfjoin import selfjoin_scan_packed, selfjoin_sorted
+    """Candidate intervals via the whole-genome self-join kernel.
+
+    Genomes larger than `p.max_selfjoin_bp` run as overlapping device-side
+    chunks (halo = max repeat length so boundary-straddling repeats are
+    seen whole by one chunk); chunk-local coordinates map back by offset
+    and duplicates collapse in the shared dedup tail.
+    """
+    import jax
 
     # cached device upload + single packed fetch: the axon tunnel pays a
     # round trip per transfer, which dominated this stage (the selfjoin
     # compute itself is ~0.1s at 2Mbp)
     flat_d, L = genome.device_flat_padded(use_masked)
+    Lp = flat_d.shape[0]
+
+    C = p.max_selfjoin_bp
+    if Lp <= C:
+        return _selfjoin_chunk(flat_d, 0, cfg, p)
+
+    @jax.jit
+    def _slice(c0):
+        return jax.lax.dynamic_slice(flat_d, (c0,), (C,))
+
+    out: List[np.ndarray] = []
+    step = C - 2 * halo
+    for c0 in range(0, max(1, Lp - 2 * halo), step):
+        c0 = min(c0, Lp - C)
+        iv = _selfjoin_chunk(_slice(jnp.int32(c0)), c0, cfg, p)
+        if len(iv):
+            out.append(iv)
+        if c0 == Lp - C:
+            break
+    if not out:
+        return np.zeros((0, 2), dtype=np.int64)
+    return np.concatenate(out)
+
+
+def _selfjoin_chunk(
+    flat_d, offset: int, cfg: AlignConfig, p: CoarseParams
+) -> np.ndarray:
+    """Self-join one device-resident chunk; returns flat-genome intervals."""
+    from hite_tpu.ops.chain import chain_hsps_host
+    from hite_tpu.ops.selfjoin import selfjoin_scan_packed, selfjoin_sorted
+
     Lp = flat_d.shape[0]
 
     with stage_timer("coarse.selfjoin"):
@@ -221,7 +265,7 @@ def _selfjoin_intervals(
             out.append(s_iv)
     if not out:
         return np.zeros((0, 2), dtype=np.int64)
-    return np.concatenate(out).astype(np.int64)
+    return np.concatenate(out).astype(np.int64) + offset
 
 
 def coarse_discover(
@@ -238,7 +282,8 @@ def coarse_discover(
     """
     p = params or CoarseParams()
     if p.strategy == "selfjoin":
-        intervals = _selfjoin_intervals(genome, cfg, p, use_masked)
+        intervals = _selfjoin_intervals(genome, cfg, p, use_masked,
+                                        halo=max_repeat_len)
         return _dedup_intervals(intervals, genome, cfg,
                                 min_repeat_len, max_repeat_len)
     segs = genome.segment_view(p.seg_len, use_masked=use_masked)

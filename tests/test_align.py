@@ -209,3 +209,33 @@ def test_selfjoin_budget_slices_equivalence():
         return {(int(s) // 20, int(e) // 20) for s, e in iv}
     missing = key(big) - key(small)
     assert not missing, (len(big), len(small), list(missing)[:5])
+
+
+def test_selfjoin_chunked_equivalence():
+    """Chunked selfjoin (large-genome path) finds the single-shot set."""
+    from hite_tpu.config import AlignConfig
+    from hite_tpu.genome import synthetic_genome
+    from hite_tpu.pipeline.coarse import CoarseParams, coarse_discover
+
+    rng = np.random.default_rng(4)
+    tes = ["".join("ACGT"[c] for c in rng.integers(0, 4, L))
+           for L in (400, 900)]
+    # copy density such that every chunk holds >=2 copies per family —
+    # like the reference's 400MB chunks, copies that never share a chunk
+    # cannot pair (chunk-local discovery, main.py:508-639)
+    genome, _ = synthetic_genome(400_000, tes, [24, 14], seed=11,
+                                 mutation_rate=0.02)
+    cfg = AlignConfig(fixed_extend_base_threshold=2000)
+    whole = coarse_discover(genome, cfg, CoarseParams())
+    chunked = coarse_discover(
+        genome, cfg, CoarseParams(max_selfjoin_bp=1 << 17),
+        max_repeat_len=5_000)  # halo >> planted TE length
+    assert len(whole) > 0
+    # every whole-genome repeat locus must be >=90%-covered by a chunked
+    # candidate (exact boundary variants differ: chunking changes which
+    # copy pairs with which, and boundaries are re-derived by MSA anyway)
+    for s, e in whole:
+        cov = 0
+        for cs, ce in chunked:
+            cov = max(cov, min(e, ce) - max(s, cs))
+        assert cov >= 0.9 * (e - s), (s, e, cov)
