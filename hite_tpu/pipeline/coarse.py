@@ -206,11 +206,104 @@ def _selfjoin_intervals(
     return np.concatenate(out)
 
 
+def _selfjoin_intervals_mesh(
+    genome: Genome, cfg: AlignConfig, p: CoarseParams, use_masked: bool,
+    halo: int, mesh,
+) -> np.ndarray:
+    """Mesh-sharded chunked selfjoin: every device self-joins its chunks.
+
+    The genome is cut into `max_selfjoin_bp` chunks with `halo` overlap and
+    the chunk batch axis is sharded over the mesh's data axis (GSPMD) —
+    sorts and scans stay device-local (chunks are independent), so the
+    only cross-device traffic is the final HSP fetch.  This is the
+    TPU-native form of the reference's Nextflow chunk fan-out for the
+    discovery stage itself.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hite_tpu.io.fasta import CODE_N
+    from hite_tpu.ops.selfjoin import selfjoin_scan_packed, selfjoin_sorted
+
+    src = (genome.masked if (use_masked and genome.masked is not None)
+           else genome.flat)
+    L = len(src)
+    C = min(p.max_selfjoin_bp, max(65_536, 1 << (L - 1).bit_length()))
+    step = max(1, C - 2 * halo)
+    starts = list(range(0, max(1, L - 2 * halo), step))
+    starts = [min(s, max(0, L - C)) for s in starts]
+    starts = sorted(set(starts))
+
+    dp = mesh.shape.get("dp", 1)
+    n_chunks = -(-len(starts) // dp) * dp
+    chunks = np.full((n_chunks, C), CODE_N, dtype=np.uint8)
+    for i, s in enumerate(starts):
+        seg = src[s : s + C]
+        chunks[i, : len(seg)] = seg
+
+    sharding = NamedSharding(mesh, P("dp", None))
+    chunks_d = jax.device_put(chunks, sharding)
+
+    sort_fn = jax.jit(jax.vmap(functools.partial(
+        selfjoin_sorted, k=cfg.kmer_size, window=p.window,
+        diag_band=p.diag_band)))
+    with stage_timer("coarse.selfjoin.mesh_sort"):
+        s_dbin, s_qpos, s_spos, n_pairs_d = sort_fn(chunks_d)
+        n_pairs = np.asarray(n_pairs_d)
+
+    need = int(max(1, -(-int(n_pairs.max()) // p.max_seed_pairs)))
+    slices = 1 if need <= 1 else 1 << (need - 1).bit_length()
+    slices = min(slices, p.max_budget_slices)
+
+    scan_fn = jax.jit(jax.vmap(functools.partial(
+        selfjoin_scan_packed, k=cfg.kmer_size, run_gap=p.run_gap,
+        min_seeds=p.min_seeds, min_hsp_len=cfg.min_hsp_len,
+        max_hsps=p.max_hsps_global, max_seed_pairs=p.max_seed_pairs,
+        budget_slices=slices)))
+    with stage_timer("coarse.selfjoin.mesh_scan"):
+        packed = np.asarray(scan_fn(s_dbin, s_qpos, s_spos, n_pairs_d))
+
+    out: List[np.ndarray] = []
+    for i, c0 in enumerate(starts):
+        iv = _chunk_hsps_to_intervals(packed[i], C, cfg)
+        if len(iv):
+            out.append(iv + c0)
+    if not out:
+        return np.zeros((0, 2), dtype=np.int64)
+    return np.concatenate(out)
+
+
+def _chunk_hsps_to_intervals(packed: np.ndarray, Lp: int,
+                             cfg: AlignConfig) -> np.ndarray:
+    """Packed HSP rows of one chunk -> chained chunk-local intervals."""
+    from hite_tpu.ops.chain import chain_hsps_host
+
+    valid = packed[4].astype(bool)
+    qs, qe, ss, se = (packed[i][valid] for i in range(4))
+    out: List[np.ndarray] = []
+    for m, is_rc in ((ss < Lp, False), (ss >= Lp, True)):
+        if not m.any():
+            continue
+        chains = chain_hsps_host(
+            qs[m], qe[m], ss[m], se[m],
+            extend_threshold=cfg.fixed_extend_base_threshold, min_len=80)
+        if not len(chains):
+            continue
+        out.append(chains[:, 0:2])
+        s_iv = chains[:, 2:4]
+        if is_rc:
+            s_iv = np.stack([2 * Lp - s_iv[:, 1], 2 * Lp - s_iv[:, 0]],
+                            axis=1)
+        out.append(s_iv)
+    if not out:
+        return np.zeros((0, 2), dtype=np.int64)
+    return np.concatenate(out).astype(np.int64)
+
+
 def _selfjoin_chunk(
     flat_d, offset: int, cfg: AlignConfig, p: CoarseParams
 ) -> np.ndarray:
     """Self-join one device-resident chunk; returns flat-genome intervals."""
-    from hite_tpu.ops.chain import chain_hsps_host
     from hite_tpu.ops.selfjoin import selfjoin_scan_packed, selfjoin_sorted
 
     Lp = flat_d.shape[0]
@@ -240,32 +333,12 @@ def _selfjoin_chunk(
             run_gap=p.run_gap, min_seeds=p.min_seeds,
             min_hsp_len=cfg.min_hsp_len, max_hsps=p.max_hsps_global,
             max_seed_pairs=p.max_seed_pairs, budget_slices=slices))
-        valid = packed[4].astype(bool)
-        qs, qe, ss, se = (packed[i][valid] for i in range(4))
 
     with stage_timer("coarse.chain"):
-        out: List[np.ndarray] = []
         # chain forward-subject and rc-subject HSPs separately (virtual
         # subject coordinate spaces must never merge across the Lp boundary)
-        for m, is_rc in ((ss < Lp, False), (ss >= Lp, True)):
-            if not m.any():
-                continue
-            chains = chain_hsps_host(
-                qs[m], qe[m], ss[m], se[m],
-                extend_threshold=cfg.fixed_extend_base_threshold, min_len=80)
-            if not len(chains):
-                continue
-            out.append(chains[:, 0:2])
-            s_iv = chains[:, 2:4]
-            if is_rc:
-                # subject in revcomp virtual space [Lp, 2Lp):
-                # forward span = (2Lp - se, 2Lp - ss)
-                s_iv = np.stack([2 * Lp - s_iv[:, 1], 2 * Lp - s_iv[:, 0]],
-                                axis=1)
-            out.append(s_iv)
-    if not out:
-        return np.zeros((0, 2), dtype=np.int64)
-    return np.concatenate(out).astype(np.int64) + offset
+        iv = _chunk_hsps_to_intervals(packed, Lp, cfg)
+    return iv + offset if len(iv) else iv
 
 
 def coarse_discover(
@@ -275,15 +348,22 @@ def coarse_discover(
     use_masked: bool = True,
     max_repeat_len: int = 30_000,
     min_repeat_len: int = 80,
+    mesh=None,
 ) -> np.ndarray:
     """Find candidate repeat intervals (flat coords) across the whole genome.
 
-    Returns int64 [N, 2] deduplicated candidate intervals.
+    With `mesh`, the chunked selfjoin shards its chunk batch over the
+    mesh's data axis (device-local sorts/scans, GSPMD).  Returns int64
+    [N, 2] deduplicated candidate intervals.
     """
     p = params or CoarseParams()
     if p.strategy == "selfjoin":
-        intervals = _selfjoin_intervals(genome, cfg, p, use_masked,
-                                        halo=max_repeat_len)
+        if mesh is not None:
+            intervals = _selfjoin_intervals_mesh(
+                genome, cfg, p, use_masked, halo=max_repeat_len, mesh=mesh)
+        else:
+            intervals = _selfjoin_intervals(genome, cfg, p, use_masked,
+                                            halo=max_repeat_len)
         return _dedup_intervals(intervals, genome, cfg,
                                 min_repeat_len, max_repeat_len)
     segs = genome.segment_view(p.seg_len, use_masked=use_masked)

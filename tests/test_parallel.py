@@ -65,3 +65,27 @@ def test_sharded_annotation_matches_single_device():
     key = lambda h: (h.contig, h.start, h.end, h.strand, h.family)
     assert sorted(map(key, sharded)) == sorted(map(key, single))
     assert len(single) >= 9
+
+
+def test_mesh_sharded_selfjoin_matches_single_device():
+    """Chunked selfjoin over the dp axis == single-device discovery."""
+    from hite_tpu.config import AlignConfig
+    from hite_tpu.genome import synthetic_genome
+    from hite_tpu.pipeline.coarse import CoarseParams, coarse_discover
+
+    rng = np.random.default_rng(6)
+    tes = ["".join("ACGT"[c] for c in rng.integers(0, 4, L))
+           for L in (400, 900)]
+    genome, _ = synthetic_genome(400_000, tes, [24, 14], seed=11,
+                                 mutation_rate=0.02)
+    cfg = AlignConfig(fixed_extend_base_threshold=2000)
+    params = CoarseParams(max_selfjoin_bp=1 << 17)
+    single = coarse_discover(genome, cfg, params, max_repeat_len=5_000)
+    mesh = make_mesh(n_devices=8, dp=8, tp=1)
+    sharded = coarse_discover(genome, cfg, params, max_repeat_len=5_000,
+                              mesh=mesh)
+    assert len(single) > 0
+    for s, e in single:
+        cov = max((min(e, ce) - max(s, cs) for cs, ce in sharded),
+                  default=0)
+        assert cov >= 0.9 * (e - s), (s, e)
