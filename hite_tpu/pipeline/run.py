@@ -135,7 +135,12 @@ def run_pipeline(
     cfg: PipelineConfig,
     out_dir: Optional[str] = None,
     coarse_params: Optional[CoarseParams] = None,
+    mesh=None,
 ) -> RunResult:
+    """Full single-genome pipeline.
+
+    With `mesh`, the discovery and annotation stages shard their batch
+    axes over the mesh's data axis (chunked selfjoin / library batch)."""
     from hite_tpu.pipeline.checkpoint import Checkpointer
 
     cfg = cfg.with_genome_size(genome.size)
@@ -157,7 +162,8 @@ def run_pipeline(
     # stage 1b: coarse de-novo discovery on the (masked) genome
     with stage_timer("pipeline.coarse"):
         coarse = ckpt.run("coarse",
-                          lambda: coarse_discover(genome, cfg.align, params))
+                          lambda: coarse_discover(genome, cfg.align, params,
+                                                  mesh=mesh))
 
     gindex = GenomeIndex(genome, cfg.align, seg_len=params.seg_len)
 
@@ -242,7 +248,8 @@ def run_pipeline(
 
     # stage 5: annotation
     if cfg.annotate and libs.get("merged"):
-        hits = annotate_genome(genome, libs["merged"], cfg, gindex)
+        hits = annotate_genome(genome, libs["merged"], cfg, gindex,
+                               mesh=mesh)
         if out_dir:
             write_annotation(os.path.join(out_dir, "genome"), hits, genome)
         result.metrics["annotation_hits"] = len(hits)

@@ -89,3 +89,25 @@ def test_mesh_sharded_selfjoin_matches_single_device():
         cov = max((min(e, ce) - max(s, cs) for cs, ce in sharded),
                   default=0)
         assert cov >= 0.9 * (e - s), (s, e)
+
+
+def test_run_pipeline_with_mesh(tmp_path):
+    """Full pipeline with a device mesh: sharded discovery + annotation."""
+    from hite_tpu.config import AlignConfig, PipelineConfig
+    from hite_tpu.genome import synthetic_genome
+    from hite_tpu.pipeline.coarse import CoarseParams
+    from hite_tpu.pipeline.run import run_pipeline
+
+    rng = np.random.default_rng(8)
+    tes = ["".join("ACGT"[c] for c in rng.integers(0, 4, L))
+           for L in (500, 1100)]
+    genome, _ = synthetic_genome(60_000, tes, [6, 4], seed=15,
+                                 mutation_rate=0.02)
+    cfg = PipelineConfig(annotate=True,
+                         align=AlignConfig(fixed_extend_base_threshold=2000))
+    mesh = make_mesh(n_devices=8, dp=8, tp=1)
+    res = run_pipeline(genome, cfg, out_dir=str(tmp_path),
+                       coarse_params=CoarseParams(seg_len=16_384),
+                       mesh=mesh)
+    assert res.libs.get("merged"), "no library produced under mesh"
+    assert (tmp_path / "genome.gff").exists()
