@@ -102,6 +102,29 @@ def evaluate_library(
     prec = tp / test_bp if test_bp else 0.0
     f1 = 2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0
     metrics = dict(TP=tp, FP=fp, FN=fn, sensitivity=sens, precision=prec, F1=f1)
+
+    # per-coverage-threshold metrics (reference prints 0.8/0.95/0.99,
+    # lib_evaluation.py:79-90 + README.md:380-390): an interval counts
+    # only when reciprocally covered >= t
+    at_cov = {}
+    for t in (0.8, 0.95, 0.99):
+        if len(gold_iv) and len(test_iv):
+            gcov = iv.coverage_fraction(gold_iv, test_iv)
+            tcov = iv.coverage_fraction(test_iv, gold_iv)
+            tp_t = int(np.sum((gcov >= t) * (gold_iv[:, 1] - gold_iv[:, 0])))
+            tp_test = int(np.sum((tcov >= t) *
+                                 (test_iv[:, 1] - test_iv[:, 0])))
+        else:
+            tp_t = tp_test = 0
+        fn_t = gold_bp - tp_t
+        fp_t = test_bp - tp_test
+        at_cov[str(t)] = dict(
+            TP=tp_t, FP=fp_t, FN=fn_t,
+            sensitivity=tp_t / gold_bp if gold_bp else 0.0,
+            precision=tp_test / test_bp if test_bp else 0.0,
+            F1=(2 * tp_t / (2 * tp_t + fp_t + fn_t)
+                if (2 * tp_t + fp_t + fn_t) else 0.0))
+    metrics["at_coverage"] = at_cov
     logger.info("BM_HiTE: %s", metrics)
     return metrics
 

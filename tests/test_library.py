@@ -118,8 +118,12 @@ def test_evaluate_library_f1(cfg):
     gold = {"fam0#DNA": te}
     m_same = evaluate_library(genome, gold, gold, cfg)
     assert m_same["F1"] > 0.95
+    # multi-threshold output (reference 0.8/0.95/0.99 recipe)
+    assert set(m_same["at_coverage"]) == {"0.8", "0.95", "0.99"}
+    assert m_same["at_coverage"]["0.99"]["F1"] > 0.95
     m_none = evaluate_library(genome, {"x#DNA": _rand(rng, 500)}, gold, cfg)
     assert m_none["F1"] < 0.3
+    assert m_none["at_coverage"]["0.8"]["F1"] < 0.3
 
 
 def test_clean_genome_drops_redundant(cfg):
