@@ -68,8 +68,13 @@ def run_pan_pipeline(
     my_names = mh.partition(list(genomes.keys()))
     local_results: Dict[str, RunResult] = {}
     for name in my_names:
+        # per-genome out_dir gives each run the checkpoint/recover
+        # machinery (reference per-process storeDir, panHiTE.nf:94-129)
+        g_out = (os.path.join(out_dir, "genomes", name)
+                 if out_dir else None)
         with stage_timer(f"pan.run.{name}"):
             local_results[name] = run_pipeline(genomes[name], cfg,
+                                               out_dir=g_out,
                                                coarse_params=params)
     per_genome = mh.merge_dicts(mh.allgather_obj(local_results))
     # deterministic genome order on every host
