@@ -47,6 +47,7 @@ class Checkpointer:
         self.dir = (os.path.join(out_dir, ".checkpoints")
                     if (out_dir and enabled) else None)
         self.tag = config_hash(cfg)
+        self._pending: list = []
         if self.dir:
             os.makedirs(self.dir, exist_ok=True)
 
@@ -56,6 +57,7 @@ class Checkpointer:
     def load(self, stage: str) -> Optional[Any]:
         if not self.dir:
             return None
+        self.wait()
         p = self._path(stage)
         if not os.path.exists(p):
             return None
@@ -69,12 +71,37 @@ class Checkpointer:
             return None
 
     def save(self, stage: str, data: Any) -> None:
+        """Asynchronous atomic snapshot: serialization + write happen on a
+        background thread (tmp file + rename) so the pipeline never blocks
+        on checkpoint IO — the host-side async checkpointing that replaces
+        the reference's synchronous recover-file writes (SURVEY.md §2.E)."""
         if not self.dir:
             return
-        tmp = self._path(stage) + ".tmp"
-        with open(tmp, "wb") as fh:
-            pickle.dump(data, fh)
-        os.replace(tmp, self._path(stage))
+        path = self._path(stage)
+        tmp = path + ".tmp"
+
+        def _write():
+            try:
+                with open(tmp, "wb") as fh:
+                    pickle.dump(data, fh)
+                os.replace(tmp, path)
+            except Exception as e:  # a failed snapshot only costs recompute
+                logger.warning("checkpoint: async save of %s failed (%s)",
+                               stage, e)
+
+        import threading
+
+        t = threading.Thread(target=_write, name=f"ckpt-{stage}",
+                             daemon=True)
+        self._pending.append(t)
+        t.start()
+
+    def wait(self) -> None:
+        """Drain in-flight snapshot writes (used before process exit and
+        by load() so a stage never reads its own half-written snapshot)."""
+        for t in self._pending:
+            t.join()
+        self._pending.clear()
 
     def run(self, stage: str, fn: Callable[[], Any]) -> Any:
         """Load the stage snapshot or compute + save it."""
@@ -88,6 +115,7 @@ class Checkpointer:
     def clean(self) -> None:
         """Drop all snapshots (the reference's clean_lib equivalent for
         recovery state)."""
+        self.wait()
         if not self.dir or not os.path.isdir(self.dir):
             return
         for f in os.listdir(self.dir):

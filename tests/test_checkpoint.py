@@ -51,3 +51,17 @@ def test_checkpointer_disabled(tmp_path):
     ck.run("s", lambda: calls.append(1))
     ck.run("s", lambda: calls.append(1))
     assert len(calls) == 2
+
+
+def test_async_save_visible_to_next_load(tmp_path):
+    from hite_tpu.config import PipelineConfig
+    from hite_tpu.pipeline.checkpoint import Checkpointer
+
+    cfg = PipelineConfig()
+    ck = Checkpointer(str(tmp_path), cfg, enabled=True)
+    big = {"x": list(range(100_000))}
+    ck.save("stage_a", big)
+    # load() must drain the in-flight background write
+    assert ck.load("stage_a") == big
+    ck2 = Checkpointer(str(tmp_path), cfg, enabled=True)
+    assert ck2.load("stage_a") == big
