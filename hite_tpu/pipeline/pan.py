@@ -200,7 +200,46 @@ def run_pan_pipeline(
             for i, f in enumerate(fam_names):
                 fh.write(f + "\t" + "\t".join(map(str, pav[i])) + "\n")
         ltr_insert_time_outputs(per_genome, out_dir)
+        pan_summary_plots(result, out_dir)
     return result
+
+
+def pan_summary_plots(result: "PanResult", out_dir: str) -> None:
+    """PAV heatmap + core/softcore/dispensable/private bars
+    (`summary_TEs` figure outputs, `Util.py:12851`).  Best-effort."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        if result.pav is None or not len(result.pav_families):
+            return
+        fig, (ax1, ax2) = plt.subplots(
+            1, 2, figsize=(10, max(4, 0.25 * len(result.pav_families))),
+            gridspec_kw={"width_ratios": [3, 1]})
+        pav = (result.pav > 0).astype(int)
+        ax1.imshow(pav, aspect="auto", cmap="Greys", vmin=0, vmax=1)
+        ax1.set_xticks(range(len(result.pav_genomes)))
+        ax1.set_xticklabels(result.pav_genomes, rotation=45, ha="right",
+                            fontsize=7)
+        ax1.set_yticks(range(len(result.pav_families)))
+        ax1.set_yticklabels(result.pav_families, fontsize=6)
+        ax1.set_title("panTE presence/absence")
+        order = ("core", "softcore", "dispensable", "private", "unknown")
+        counts = {c: 0 for c in order}
+        for c in result.classification.values():
+            counts[c] = counts.get(c, 0) + 1
+        ax2.bar(range(len(order)), [counts[c] for c in order],
+                color="#4c72b0")
+        ax2.set_xticks(range(len(order)))
+        ax2.set_xticklabels(order, rotation=45, ha="right", fontsize=7)
+        ax2.set_title("TE classes")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "pan_summary.pdf"))
+        plt.close(fig)
+    except Exception as e:
+        logger.warning("pan: summary plot skipped (%s)", e)
 
 
 def ltr_insert_time_outputs(
