@@ -33,14 +33,23 @@ _INT32_MAX = jnp.int32(2**31 - 1)
 
 
 def _box_density(x: jnp.ndarray, window: int) -> jnp.ndarray:
-    """Centered moving average along the last axis (same length)."""
-    c = jnp.cumsum(x.astype(jnp.float32), axis=-1)
-    c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
+    """Centered moving average along the last axis (same length).
+
+    Gather-free: zero-pad so every window is full width, one cumsum, and
+    the window sum is a STATIC slice difference (the previous index-array
+    formulation lowered to two [., L] gathers per call — measured as the
+    dominant cost of genome-scale tandem masking on the v5e)."""
     L = x.shape[-1]
-    idx = jnp.arange(L)
-    lo = jnp.clip(idx - window // 2, 0, L)
-    hi = jnp.clip(idx + (window + 1) // 2, 0, L)
-    return (c[..., hi] - c[..., lo]) / jnp.maximum(hi - lo, 1)
+    w_lo = window // 2
+    w_hi = (window + 1) // 2
+    pad = [(0, 0)] * (x.ndim - 1) + [(w_lo, w_hi)]
+    c = jnp.cumsum(jnp.pad(x.astype(jnp.float32), pad), axis=-1)
+    c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
+    sums = c[..., window : window + L] - c[..., :L]    # [..., L]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+    count = (jnp.minimum(L, idx + w_hi)
+             - jnp.maximum(0, idx - w_lo)).astype(jnp.float32)
+    return sums / jnp.maximum(count, 1.0)
 
 
 @functools.partial(jax.jit,
