@@ -86,6 +86,73 @@ def _cached_map_batch(cfg: AlignConfig, stride: int, max_hits: int,
     return _map_batch
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_map_block(cfg: AlignConfig, stride: int, max_hits: int,
+                      diag_band: int, run_gap: int, min_seeds: int,
+                      max_hsps: int, max_chains: int, seg_block: int,
+                      out_budget: int):
+    """Jitted (candidate batch x segment block) mapper with one packed,
+    valid-compacted output.
+
+    The per-segment loop paid ~20 host fetches per segment over the axon
+    tunnel (1000+ round trips for a 64-segment genome); this maps a block
+    of segments in ONE call and compacts every valid chain into a single
+    int32 [out_budget + 1, 8] array (row 0 = count; columns cand, seg,
+    strand, qs, qe, ss, se, nseeds) = one fetch per block.
+    """
+    p = dict(stride=stride, max_hits=max_hits, diag_band=diag_band,
+             run_gap=run_gap, min_seeds=min_seeds, max_hsps=max_hsps)
+
+    def _map_one(cand_km, f_codes, f_pos, f_bk, r_codes, r_pos, r_bk):
+        hsp_kw = dict(k=cfg.kmer_size, min_hsp_len=cfg.min_hsp_len, **p)
+        chain_kw = dict(extend_threshold=cfg.fixed_extend_base_threshold,
+                        max_chains=max_chains, min_len=50)
+        fh = pair_hsps(cand_km, KmerIndex(f_codes, f_pos, f_bk), **hsp_kw)
+        fc = chain_hsps(fh, **chain_kw)
+        rh = pair_hsps(cand_km, KmerIndex(r_codes, r_pos, r_bk), **hsp_kw)
+        rch = chain_hsps(rh, **chain_kw)
+        return fc, rch
+
+    @jax.jit
+    def _map_block(cand_kms, f_codes, f_pos, f_bk, r_codes, r_pos, r_bk,
+                   s0):
+        # dynamic segment-block slice INSIDE jit: one compiled program for
+        # every block (an un-jitted device slice would cost a tunnel
+        # dispatch per array per block)
+        def blk(a):
+            return jax.lax.dynamic_slice(
+                a, (s0,) + (0,) * (a.ndim - 1), (seg_block,) + a.shape[1:])
+
+        f_codes, f_pos, f_bk, r_codes, r_pos, r_bk = (
+            blk(a) for a in (f_codes, f_pos, f_bk, r_codes, r_pos, r_bk))
+        over_c = jax.vmap(_map_one, in_axes=(0,) + (None,) * 6)
+        over_s = jax.vmap(over_c, in_axes=(None,) + (0,) * 6)
+        fc, rch = over_s(cand_kms, f_codes, f_pos, f_bk,
+                         r_codes, r_pos, r_bk)        # fields [SB, B, C]
+
+        parts = []
+        for strand, ch in ((0, fc), (1, rch)):
+            SB, B, C = ch.qs.shape
+            seg_i = s0 + jax.lax.broadcasted_iota(jnp.int32, (SB, B, C), 0)
+            cand_i = jax.lax.broadcasted_iota(jnp.int32, (SB, B, C), 1)
+            row = jnp.stack([cand_i, seg_i,
+                             jnp.full((SB, B, C), strand, jnp.int32),
+                             ch.qs, ch.qe, ch.ss, ch.se, ch.nseeds],
+                            axis=-1).reshape(-1, 8)
+            parts.append((row, ch.valid.reshape(-1)))
+        rows = jnp.concatenate([r for r, _ in parts])
+        good = jnp.concatenate([v for _, v in parts])
+        (sel,) = jnp.nonzero(good, size=out_budget, fill_value=0)
+        count = jnp.sum(good.astype(jnp.int32))
+        body = jnp.where(
+            (jax.lax.broadcasted_iota(jnp.int32, (out_budget, 1), 0)
+             < count), rows[sel], 0)
+        head = jnp.full((1, 8), 0, jnp.int32).at[0, 0].set(count)
+        return jnp.concatenate([head, body])
+
+    return _map_block
+
+
 # mesh-sharded map-batch executables, keyed by (kernel geometry, mesh);
 # plain dict because Mesh hashability is not guaranteed across versions
 _SHARDED_MAP_CACHE: dict = {}
@@ -132,11 +199,17 @@ class CopyFinder:
                 index.cfg, stride, max_hits, diag_band, run_gap, min_seeds,
                 max_hsps, max_chains, mesh)
             self._batch_multiple = mesh.devices.size
+            self._map_block = None
         else:
             self._map_batch = _cached_map_batch(
                 index.cfg, stride, max_hits, diag_band, run_gap, min_seeds,
                 max_hsps, max_chains)
             self._batch_multiple = 1
+            self._seg_block = min(8, index.n_segs)
+            self._out_budget = 1 << 15
+            self._map_block = _cached_map_block(
+                index.cfg, stride, max_hits, diag_band, run_gap, min_seeds,
+                max_hsps, max_chains, self._seg_block, self._out_budget)
 
     def find_copies(
         self,
@@ -160,36 +233,70 @@ class CopyFinder:
         cand_kms = enc.kmer_codes(jnp.asarray(mat), cfg.kmer_size)
 
         lens_f = np.maximum(lens[: len(cand_seqs)].astype(np.float64), 1)
-        for s in range(idx.n_segs):
-            fc, rch = self._map_batch(
-                cand_kms,
-                idx.fwd.codes[s], idx.fwd.pos[s], idx.fwd.buckets[s],
-                idx.rc.codes[s], idx.rc.pos[s], idx.rc.buckets[s],
-            )
-            soff = s * idx.seg_len
-            for chains, strand in ((fc, 0), (rch, 1)):
-                valid = np.asarray(chains.valid)[: len(cand_seqs)]
-                if not valid.any():
-                    continue
-                qs = np.asarray(chains.qs)[: len(cand_seqs)]
-                qe = np.asarray(chains.qe)[: len(cand_seqs)]
-                ss = np.asarray(chains.ss)[: len(cand_seqs)]
-                se = np.asarray(chains.se)[: len(cand_seqs)]
-                ns = np.asarray(chains.nseeds)[: len(cand_seqs)]
-                qcov = (qe - qs) / lens_f[:, None]
-                slen = se - ss
-                ok = valid & (qcov >= min_coverage)
-                ok &= slen >= min_coverage * lens_f[:, None]
-                ok &= slen <= max_len_ratio * lens_f[:, None]
-                c_idx, h_idx = np.nonzero(ok)
-                s0 = ss[c_idx, h_idx]
-                s1 = se[c_idx, h_idx]
-                if strand == 1:
+
+        def _collect(rows: np.ndarray) -> None:
+            """rows: int32 [n, 8] = cand, seg, strand, qs, qe, ss, se, ns."""
+            cand, seg, strand = rows[:, 0], rows[:, 1], rows[:, 2]
+            qs, qe, ss, se, ns = (rows[:, i] for i in range(3, 8))
+            keep = cand < len(cand_seqs)
+            lf = lens_f[np.minimum(cand, len(cand_seqs) - 1)]
+            slen = se - ss
+            keep &= (qe - qs) >= min_coverage * lf
+            keep &= slen >= min_coverage * lf
+            keep &= slen <= max_len_ratio * lf
+            for i in np.nonzero(keep)[0]:
+                s0, s1 = int(ss[i]), int(se[i])
+                if strand[i] == 1:
                     s0, s1 = idx.seg_len - s1, idx.seg_len - s0
-                for c, a, b_, n in zip(c_idx, soff + s0, soff + s1,
-                                       ns[c_idx, h_idx]):
-                    out[c].append(CopyHit(start=int(a), end=int(b_),
-                                          strand=strand, nseeds=int(n)))
+                soff = int(seg[i]) * idx.seg_len
+                out[int(cand[i])].append(CopyHit(
+                    start=soff + s0, end=soff + s1,
+                    strand=int(strand[i]), nseeds=int(ns[i])))
+
+        if self._map_block is not None:
+            SB = self._seg_block
+            starts = sorted({min(s, idx.n_segs - SB)
+                             for s in range(0, idx.n_segs, SB)})
+            seen: set = set()
+            for s0 in starts:
+                packed = np.asarray(self._map_block(
+                    cand_kms, idx.fwd.codes, idx.fwd.pos, idx.fwd.buckets,
+                    idx.rc.codes, idx.rc.pos, idx.rc.buckets,
+                    jnp.int32(s0)))
+                count = int(packed[0, 0])
+                if count > self._out_budget:
+                    logger.warning(
+                        "find_copies: %d hits exceed the %d block budget; "
+                        "truncated", count, self._out_budget)
+                rows = packed[1 : 1 + min(count, self._out_budget)]
+                # overlapping final block: drop segments already mapped
+                fresh = np.array([s not in seen for s in rows[:, 1]])
+                _collect(rows[fresh] if len(rows) else rows)
+                seen.update(range(s0, s0 + SB))
+        else:
+            for s in range(idx.n_segs):
+                fc, rch = self._map_batch(
+                    cand_kms,
+                    idx.fwd.codes[s], idx.fwd.pos[s], idx.fwd.buckets[s],
+                    idx.rc.codes[s], idx.rc.pos[s], idx.rc.buckets[s],
+                )
+                for chains, strand in ((fc, 0), (rch, 1)):
+                    valid = np.asarray(chains.valid)[: len(cand_seqs)]
+                    if not valid.any():
+                        continue
+                    qs = np.asarray(chains.qs)[: len(cand_seqs)]
+                    qe = np.asarray(chains.qe)[: len(cand_seqs)]
+                    ss = np.asarray(chains.ss)[: len(cand_seqs)]
+                    se = np.asarray(chains.se)[: len(cand_seqs)]
+                    ns = np.asarray(chains.nseeds)[: len(cand_seqs)]
+                    c_idx, h_idx = np.nonzero(valid)
+                    rows = np.stack([
+                        c_idx, np.full_like(c_idx, s),
+                        np.full_like(c_idx, strand),
+                        qs[c_idx, h_idx], qe[c_idx, h_idx],
+                        ss[c_idx, h_idx], se[c_idx, h_idx],
+                        ns[c_idx, h_idx]], axis=1)
+                    _collect(rows)
         # dedup overlapping hits, cap at max_copies (prefer more seeds)
         for c, hits in enumerate(out):
             hits.sort(key=lambda h: -h.nseeds)
