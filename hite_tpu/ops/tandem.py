@@ -35,17 +35,21 @@ _INT32_MAX = jnp.int32(2**31 - 1)
 def _box_density(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """Centered moving average along the last axis (same length).
 
-    Gather-free: zero-pad so every window is full width, one cumsum, and
-    the window sum is a STATIC slice difference (the previous index-array
-    formulation lowered to two [., L] gathers per call — measured as the
-    dominant cost of genome-scale tandem masking on the v5e)."""
+    Implemented with `lax.reduce_window` — neither a gather nor a
+    scan-family op.  Two prior formulations were hardware traps on the
+    axon/v5e stack: an index-array window sum lowered to two [., L]
+    gathers per call (dominant EXECUTION cost), and a cumsum version hit
+    the superlinear scan-COMPILE blowup (a 17-period tandem_mask program
+    at [16, 128K] compiled for ~40 min; reduce_window compiles like a
+    convolution)."""
     L = x.shape[-1]
     w_lo = window // 2
     w_hi = (window + 1) // 2
-    pad = [(0, 0)] * (x.ndim - 1) + [(w_lo, w_hi)]
-    c = jnp.cumsum(jnp.pad(x.astype(jnp.float32), pad), axis=-1)
-    c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
-    sums = c[..., window : window + L] - c[..., :L]    # [..., L]
+    sums = jax.lax.reduce_window(
+        x.astype(jnp.float32), 0.0, jax.lax.add,
+        window_dimensions=(1,) * (x.ndim - 1) + (window,),
+        window_strides=(1,) * x.ndim,
+        padding=[(0, 0)] * (x.ndim - 1) + [(w_lo, w_hi - 1)])
     idx = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
     count = (jnp.minimum(L, idx + w_hi)
              - jnp.maximum(0, idx - w_lo)).astype(jnp.float32)
@@ -86,10 +90,14 @@ def _long_mask_1d(flat: jnp.ndarray, k: int, max_period: int,
     # Stable sort => equal codes keep ascending positions; the adjacent
     # sorted pair is each position's nearest other occurrence (either side).
     eq = (codes_s[:-1] == codes_s[1:]) & (codes_s[:-1] != _INT32_MAX)
-    periodic = (eq & (pos_s[1:] - pos_s[:-1] <= max_period)).astype(jnp.int32)
-    ind = jnp.zeros((nk,), jnp.int32)
-    ind = ind.at[pos_s[:-1]].max(periodic)
-    ind = ind.at[pos_s[1:]].max(periodic)             # covers the last unit
+    pair = (eq & (pos_s[1:] - pos_s[:-1] <= max_period)).astype(jnp.int32)
+    padf = jnp.zeros((1,), jnp.int32)
+    # an entry is periodic if paired with EITHER sorted neighbor; restore
+    # genome order with a second sort keyed by position (a scatter here
+    # compiled for ~8 min on the axon Mosaic stack; sorts compile fast)
+    per_entry = jnp.maximum(jnp.concatenate([pair, padf]),
+                            jnp.concatenate([padf, pair]))
+    _, ind = jax.lax.sort((pos_s, per_entry), num_keys=1)
     mask = _box_density(ind, window) >= density       # [nk] k-mer starts
     # A base j belongs to the array if any k-mer start in (j-k, j] is masked.
     full = jnp.concatenate([mask, jnp.zeros((L - nk,), jnp.bool_)])
