@@ -114,8 +114,11 @@ def _cached_map_block(cfg: AlignConfig, stride: int, max_hits: int,
         return fc, rch
 
     @jax.jit
-    def _map_block(cand_kms, f_codes, f_pos, f_bk, r_codes, r_pos, r_bk,
+    def _map_block(cand_mat, f_codes, f_pos, f_bk, r_codes, r_pos, r_bk,
                    s0):
+        # k-mer encoding INSIDE jit (un-jitted it dispatched ~12 per-op
+        # tunnel round trips per call)
+        cand_kms = enc.kmer_codes(cand_mat, cfg.kmer_size)
         # dynamic segment-block slice INSIDE jit: one compiled program for
         # every block (an un-jitted device slice would cost a tunnel
         # dispatch per array per block)
@@ -230,7 +233,8 @@ class CopyFinder:
         m = self._batch_multiple
         n_rows = ((n_rows + m - 1) // m) * m
         mat, lens = pad_seqs(cand_seqs, n_rows=n_rows)
-        cand_kms = enc.kmer_codes(jnp.asarray(mat), cfg.kmer_size)
+        if self._map_block is None:   # legacy/mesh path needs device k-mers
+            cand_kms = enc.kmer_codes(jnp.asarray(mat), cfg.kmer_size)
 
         lens_f = np.maximum(lens[: len(cand_seqs)].astype(np.float64), 1)
 
@@ -257,22 +261,38 @@ class CopyFinder:
             SB = self._seg_block
             starts = sorted({min(s, idx.n_segs - SB)
                              for s in range(0, idx.n_segs, SB)})
-            seen: set = set()
-            for s0 in starts:
-                packed = np.asarray(self._map_block(
-                    cand_kms, idx.fwd.codes, idx.fwd.pos, idx.fwd.buckets,
-                    idx.rc.codes, idx.rc.pos, idx.rc.buckets,
-                    jnp.int32(s0)))
-                count = int(packed[0, 0])
-                if count > self._out_budget:
-                    logger.warning(
-                        "find_copies: %d hits exceed the %d block budget; "
-                        "truncated", count, self._out_budget)
-                rows = packed[1 : 1 + min(count, self._out_budget)]
-                # overlapping final block: drop segments already mapped
-                fresh = np.array([s not in seen for s in rows[:, 1]])
-                _collect(rows[fresh] if len(rows) else rows)
-                seen.update(range(s0, s0 + SB))
+            # cap candidate rows per call by width: a [B, W] block program
+            # past ~2^21 cells made the remote compile helper OOM (SIGKILL)
+            W = mat.shape[1]
+            row_cap = max(8, (1 << 21) // W)
+            row_cap = 1 << (row_cap.bit_length() - 1)
+            for b0 in range(0, mat.shape[0], row_cap):
+                sub_np = mat[b0 : b0 + row_cap]
+                if sub_np.shape[0] < row_cap:
+                    sub_np = np.pad(sub_np,
+                                    ((0, row_cap - sub_np.shape[0]), (0, 0)),
+                                    constant_values=4)
+                sub = jnp.asarray(sub_np)
+                seen: set = set()
+                for s0 in starts:
+                    packed = np.asarray(self._map_block(
+                        sub, idx.fwd.codes, idx.fwd.pos, idx.fwd.buckets,
+                        idx.rc.codes, idx.rc.pos, idx.rc.buckets,
+                        jnp.int32(s0)))
+                    count = int(packed[0, 0])
+                    if count > self._out_budget:
+                        logger.warning(
+                            "find_copies: %d hits exceed the %d block "
+                            "budget; truncated", count, self._out_budget)
+                    rows = packed[1 : 1 + min(count, self._out_budget)]
+                    if len(rows):
+                        rows = rows.copy()
+                        rows[:, 0] += b0           # sub-batch -> global cand
+                        # overlapping final block: drop re-mapped segments
+                        fresh = np.array([s not in seen
+                                          for s in rows[:, 1]])
+                        _collect(rows[fresh])
+                    seen.update(range(s0, s0 + SB))
         else:
             for s in range(idx.n_segs):
                 fc, rch = self._map_batch(
