@@ -15,9 +15,9 @@ TPU-native design, two complementary kernels:
 * long periods (up to TRF's maxperiod 500, `long_tandem_mask`): one stable
   code sort of all k-mers — a position is "periodic" when its k-mer's
   nearest other occurrence lies within `max_period` bp, and a run of
-  densely periodic positions is a tandem array.  Zero gathers: the only
-  non-elementwise ops are the sort and two sized scatters back to genome
-  order (the same formulation as `ops.selfjoin`).
+  densely periodic positions is a tandem array.  Zero gathers and zero
+  scatters: sorts in, a position-keyed sort back out (the same
+  formulation as `ops.selfjoin`).
 """
 
 from __future__ import annotations

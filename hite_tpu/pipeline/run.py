@@ -44,9 +44,14 @@ DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data")
 def _mask_tandem_regions(genome: Genome, seg_len: int = 131_072,
                          batch: int = 16) -> int:
     """N-out tandem arrays in the masked genome copy (TRF -m equivalent)."""
+    import jax
     import jax.numpy as jnp
 
     from hite_tpu.ops.tandem import long_tandem_mask, tandem_mask
+
+    # one fused program + one fetch per batch (separate calls paid an
+    # extra compile each plus an un-jitted `|` dispatch over the tunnel)
+    combined = jax.jit(lambda d: tandem_mask(d) | long_tandem_mask(d))
 
     segs = genome.segment_view(seg_len)
     total = 0
@@ -56,7 +61,7 @@ def _mask_tandem_regions(genome: Genome, seg_len: int = 131_072,
             chunk = np.pad(chunk, ((0, batch - chunk.shape[0]), (0, 0)),
                            constant_values=4)
         dev = jnp.asarray(chunk)
-        mask = np.asarray(tandem_mask(dev) | long_tandem_mask(dev))
+        mask = np.asarray(combined(dev))
         for bi in range(min(batch, segs.shape[0] - b0)):
             pos = np.nonzero(mask[bi])[0]
             if len(pos) == 0:
