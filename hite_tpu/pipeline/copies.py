@@ -44,19 +44,41 @@ class CopyHit:
 
 
 class GenomeIndex:
-    """Per-segment sorted k-mer indexes of the (masked) genome, device-resident."""
+    """Genome handle for copy retrieval; per-segment k-mer indexes are lazy.
+
+    The default (sort-merge join) mapper needs only the cached flat device
+    genome (`Genome.device_flat_padded`); the per-segment sorted indexes are
+    built on first access for the legacy/mesh-sharded segment paths.
+    """
 
     def __init__(self, genome: Genome, cfg: AlignConfig, seg_len: int = 131_072,
                  use_masked: bool = False):
         self.genome = genome
         self.cfg = cfg
         self.seg_len = seg_len
-        segs = genome.segment_view(seg_len, use_masked=use_masked)
-        self.n_segs = segs.shape[0]
-        segs_d = jnp.asarray(segs)
-        self.fwd = build_index(segs_d, cfg.kmer_size)
-        self.rc = build_index(enc.revcomp(segs_d), cfg.kmer_size)
-        self.seg_kmers = enc.kmer_codes(segs_d, cfg.kmer_size)
+        self.use_masked = use_masked
+        src = (genome.masked if (use_masked and genome.masked is not None)
+               else genome.flat)
+        self.n_segs = (len(src) + seg_len - 1) // seg_len
+        self._built = None
+
+    def _indexes(self):
+        if self._built is None:
+            segs = self.genome.segment_view(self.seg_len,
+                                            use_masked=self.use_masked)
+            segs_d = jnp.asarray(segs)
+            self._built = (build_index(segs_d, self.cfg.kmer_size),
+                           build_index(enc.revcomp(segs_d),
+                                       self.cfg.kmer_size))
+        return self._built
+
+    @property
+    def fwd(self) -> KmerIndex:
+        return self._indexes()[0]
+
+    @property
+    def rc(self) -> KmerIndex:
+        return self._indexes()[1]
 
 
 @functools.lru_cache(maxsize=64)
@@ -156,6 +178,12 @@ def _cached_map_block(cfg: AlignConfig, stride: int, max_hits: int,
     return _map_block
 
 
+@functools.lru_cache(maxsize=8)
+def _chunk_slicer(C: int):
+    """Jitted device chunk slice (cached so every call reuses the program)."""
+    return jax.jit(lambda flat, c0: jax.lax.dynamic_slice(flat, (c0,), (C,)))
+
+
 # mesh-sharded map-batch executables, keyed by (kernel geometry, mesh);
 # plain dict because Mesh hashability is not guaranteed across versions
 _SHARDED_MAP_CACHE: dict = {}
@@ -187,17 +215,42 @@ def _cached_map_batch_sharded(cfg: AlignConfig, stride: int, max_hits: int,
 class CopyFinder:
     """Batched candidate -> genome copy mapping.
 
-    With `mesh`, the candidate batch axis is sharded over all mesh devices
-    (annotation/copy retrieval data parallelism); results are identical to
-    the single-device path.
+    strategy "join" (default): ONE whole-genome sort-merge k-mer join per
+    call (`ops.libjoin`) — the gather-free path; ~two sorts per call
+    instead of per-(segment, candidate-block) lookup dispatches.
+    strategy "segments": the legacy per-segment bucketed-lookup mapper,
+    kept for the mesh-sharded dispatch (selected automatically with
+    `mesh`, where the candidate batch axis shards over devices).
     """
 
     def __init__(self, index: GenomeIndex, *, stride: int = 1, max_hits: int = 8,
                  diag_band: int = 32, run_gap: int = 96, min_seeds: int = 4,
-                 max_hsps: int = 1024, max_chains: int = 128, mesh=None):
+                 max_hsps: int = 1024, max_chains: int = 128, mesh=None,
+                 strategy: str = "join", fill_w: int = 8):
         self.index = index
         self.mesh = mesh
-        if mesh is not None:
+        self.strategy = "segments" if mesh is not None else strategy
+        self.diag_band = diag_band
+        self.run_gap = run_gap
+        self.min_seeds = min_seeds
+        # join-path budgets (see ops/libjoin.py compile discipline)
+        self._join_slice = 1 << 20
+        self._join_quota = 1 << 19
+        self._join_budget = 1 << 20
+        self._join_max_slices = 64
+        # fill_w = how many candidates sharing one k-mer code still all get
+        # seeds; raise it when candidates overlap heavily (read mapping,
+        # near-identical library entries) — a candidate only starves when
+        # > fill_w sharers win EVERY seed in a 96bp run-gap window
+        self._join_fill_w = fill_w
+        self._join_max_occ = 1024
+        self._join_max_hsps = 1 << 15
+        self.max_libjoin_bp = 1 << 26
+        if self.strategy == "join":
+            self._map_batch = None
+            self._map_block = None
+            self._batch_multiple = 1
+        elif mesh is not None:
             self._map_batch = _cached_map_batch_sharded(
                 index.cfg, stride, max_hits, diag_band, run_gap, min_seeds,
                 max_hsps, max_chains, mesh)
@@ -228,6 +281,10 @@ class CopyFinder:
         out: List[List[CopyHit]] = [[] for _ in cand_seqs]
         if not cand_seqs:
             return out
+        if self.strategy == "join":
+            return self._find_copies_join(
+                cand_seqs, min_coverage=min_coverage, max_copies=max_copies,
+                max_len_ratio=max_len_ratio)
         from hite_tpu.pipeline.candidates import pad_rows
         n_rows = pad_rows(len(cand_seqs), min_rows=max(4, self._batch_multiple))
         m = self._batch_multiple
@@ -317,16 +374,251 @@ class CopyFinder:
                         ss[c_idx, h_idx], se[c_idx, h_idx],
                         ns[c_idx, h_idx]], axis=1)
                     _collect(rows)
-        # dedup overlapping hits, cap at max_copies (prefer more seeds)
-        for c, hits in enumerate(out):
-            hits.sort(key=lambda h: -h.nseeds)
-            kept: List[CopyHit] = []
-            for h in hits:
-                dup = any(min(h.end, g.end) - max(h.start, g.start)
-                          > 0.8 * (h.end - h.start) for g in kept)
-                if not dup:
-                    kept.append(h)
-                if len(kept) >= max_copies:
-                    break
-            out[c] = kept
+        return _dedup_cap(out, max_copies)
+
+    def _find_copies_join(
+        self,
+        cand_seqs: Sequence[np.ndarray],
+        *,
+        min_coverage: float,
+        max_copies: int,
+        max_len_ratio: float,
+    ) -> List[List[CopyHit]]:
+        """Sort-merge join copy retrieval (see ops/libjoin.py).
+
+        Candidates sharing one k-mer code compete for the join's `fill_w`
+        pairing slots, so near-identical candidates (per-copy coarse
+        intervals of one family are the central case) are first grouped by
+        4-mer-profile similarity and dealt into waves of <= fill_w/2
+        same-group members — each wave is one whole-genome join with no
+        starvation.  Distinct candidates all ride wave 0, keeping the
+        common case a single join.
+        """
+        groups = _similarity_groups(cand_seqs)
+        chunk = max(1, self._join_fill_w // 2)
+        waves: dict = {}
+        seen: dict = {}
+        for i, g in enumerate(groups):
+            j = seen.get(g, 0)
+            seen[g] = j + 1
+            waves.setdefault(j // chunk, []).append(i)
+        if len(waves) == 1:
+            return self._find_copies_join_batch(
+                cand_seqs, min_coverage=min_coverage, max_copies=max_copies,
+                max_len_ratio=max_len_ratio)
+        logger.info("find_copies.join: %d candidates in %d similarity waves",
+                    len(cand_seqs), len(waves))
+        out: List[List[CopyHit]] = [[] for _ in cand_seqs]
+        for _, idxs in sorted(waves.items()):
+            sub = self._find_copies_join_batch(
+                [cand_seqs[i] for i in idxs], min_coverage=min_coverage,
+                max_copies=max_copies, max_len_ratio=max_len_ratio)
+            for i, hits in zip(idxs, sub):
+                out[i] = hits
         return out
+
+    def _find_copies_join_batch(
+        self,
+        cand_seqs: Sequence[np.ndarray],
+        *,
+        min_coverage: float,
+        max_copies: int,
+        max_len_ratio: float,
+    ) -> List[List[CopyHit]]:
+        """One whole-genome k-mer join mapping a batch of candidates: two
+        device sorts + budget-sliced fills, then exact FMEA chaining per
+        (candidate, strand, contig) on the compacted HSP rows — replacing
+        the per-(segment, candidate-block) lookup grid that dominated the
+        8Mbp pipeline stage map (DESIGN.md)."""
+        from hite_tpu.ops.chain import chain_hsps_host
+        from hite_tpu.ops.libjoin import libjoin_pairs, libjoin_scan_packed
+        from hite_tpu.pipeline.candidates import pad_rows
+
+        idx = self.index
+        cfg = idx.cfg
+        k = cfg.kmer_size
+        n_c = len(cand_seqs)
+        out: List[List[CopyHit]] = [[] for _ in cand_seqs]
+
+        # concatenated candidate stream, one N separator (any k-mer window
+        # crossing a boundary contains the N and never matches); width
+        # padded to a power of two so only log2 program variants compile
+        lens = np.array([len(s) for s in cand_seqs], dtype=np.int64)
+        if lens.sum() == 0:
+            return out
+        starts = np.concatenate([[0], np.cumsum(lens[:-1] + 1)])
+        P = pad_rows(int(lens.sum()) + n_c, min_rows=1024)
+        cand_flat = np.full(P, 4, dtype=np.uint8)
+        cand_id = np.zeros(P, dtype=np.int32)
+        for i, s in enumerate(cand_seqs):
+            cand_flat[starts[i] : starts[i] + lens[i]] = s
+            cand_id[starts[i] : starts[i] + lens[i]] = i
+        cand_flat_d = jnp.asarray(cand_flat)
+        cand_id_d = jnp.asarray(cand_id)
+        lens_f = np.maximum(lens.astype(np.float64), 1)
+
+        def _one_chunk(chunk_d, c0: int, Cl: int) -> None:
+            s_cand, s_dbin, s_qpos, s_spos, counts_d = libjoin_pairs(
+                chunk_d, cand_flat_d, cand_id_d, k=k,
+                diag_band=self.diag_band, fill_w=self._join_fill_w,
+                max_occ=self._join_max_occ, slice_size=self._join_slice,
+                slice_quota=self._join_quota)
+            n_total, n_emit = (int(x) for x in np.asarray(counts_d))
+            if n_total > n_emit:
+                logger.warning(
+                    "find_copies.join: %d seed pairs exceeded the per-slice "
+                    "quota; %d emitted", n_total, n_emit)
+            need = -(-max(n_emit, 1) // self._join_budget)
+            slices = 1 if need <= 1 else 1 << (need - 1).bit_length()
+            if slices > self._join_max_slices:
+                logger.warning(
+                    "find_copies.join: %d pairs exceed %d slices x %d "
+                    "budget; tail dropped", n_emit, self._join_max_slices,
+                    self._join_budget)
+                slices = self._join_max_slices
+            packed = np.asarray(libjoin_scan_packed(
+                s_cand, s_dbin, s_qpos, s_spos, k=k, run_gap=self.run_gap,
+                min_seeds=self.min_seeds, min_hsp_len=cfg.min_hsp_len,
+                max_hsps=self._join_max_hsps, max_seed_pairs=self._join_budget,
+                budget_slices=slices))
+            cand, qs, qe, ss, se, ns, valid = (
+                packed[i].astype(np.int64) for i in range(7))
+            n_good = int(packed[7, 0])
+            if n_good > int(valid.sum()):
+                logger.warning(
+                    "find_copies.join: %d HSPs exceed the %d output quota; "
+                    "truncated (raise CopyFinder._join_max_hsps)",
+                    n_good, int(valid.sum()))
+            m = (valid != 0) & (cand < n_c)
+            if not m.any():
+                return
+            cand, qs, qe, ss, se, ns = (a[m] for a in (cand, qs, qe, ss, se, ns))
+            strand = (ss >= Cl).astype(np.int64)
+            # chains must never span contigs (the spacer is shorter than the
+            # FMEA gap tolerance): subject contig joins the group key
+            mid = (ss + se) // 2
+            fwd_mid = np.where(strand == 1, 2 * Cl - mid, mid) + c0
+            ctg, _ = idx.genome.contig_of(np.clip(
+                fwd_mid, 0, len(idx.genome.flat) - 1))
+            key = (cand * 2 + strand) * (len(idx.genome.names) + 1) + ctg
+            order = np.argsort(key, kind="stable")
+            key = key[order]
+            cand, qs, qe, ss, se, ns = (a[order] for a in
+                                        (cand, qs, qe, ss, se, ns))
+            bounds = np.concatenate(
+                [[0], np.nonzero(np.diff(key))[0] + 1, [len(key)]])
+            for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                ci = int(cand[b0])
+                st = int(strand[b0])
+                g_qs, g_qe = qs[b0:b1], qe[b0:b1]
+                g_ss, g_se, g_ns = ss[b0:b1], se[b0:b1], ns[b0:b1]
+                # copy-retrieval gap tolerance: scaled to the candidate, not
+                # the coarse-discovery threshold — a finished copy's chain
+                # must not absorb a tandem neighbor's early HSPs, and the
+                # max_len_ratio filter bounds useful subject gaps anyway
+                T_ci = int(min(cfg.fixed_extend_base_threshold,
+                               max(100, lens[ci] // 2)))
+                ch = chain_hsps_host(
+                    g_qs, g_qe, g_ss, g_se,
+                    extend_threshold=T_ci, min_len=50)
+                if not len(ch):
+                    continue
+                lf = lens_f[ci]
+                qlen = ch[:, 1] - ch[:, 0]
+                slen = ch[:, 3] - ch[:, 2]
+                keep = ((qlen >= min_coverage * lf)
+                        & (slen >= min_coverage * lf)
+                        & (slen <= max_len_ratio * lf))
+                if not keep.any():
+                    continue
+                ch = ch[keep]
+                # per-chain seed counts: sum HSP seeds the chain contains
+                cont = ((g_qs[None, :] >= ch[:, 0:1])
+                        & (g_qe[None, :] <= ch[:, 1:2])
+                        & (g_ss[None, :] >= ch[:, 2:3])
+                        & (g_se[None, :] <= ch[:, 3:4]))
+                ch_ns = cont @ g_ns
+                if st == 1:
+                    s0 = 2 * Cl - ch[:, 3]
+                    s1 = 2 * Cl - ch[:, 2]
+                else:
+                    s0, s1 = ch[:, 2], ch[:, 3]
+                for j in range(len(ch)):
+                    out[ci].append(CopyHit(
+                        start=c0 + int(s0[j]), end=c0 + int(s1[j]),
+                        strand=st, nseeds=int(ch_ns[j])))
+
+        flat_d, _L = idx.genome.device_flat_padded(idx.use_masked)
+        Lp = int(flat_d.shape[0])
+        if Lp <= self.max_libjoin_bp:
+            _one_chunk(flat_d, 0, Lp)
+        else:
+            # HBM-bounded chunks with halo, like the coarse selfjoin: any
+            # copy lies whole in at least one chunk; cross-chunk duplicates
+            # collapse in the dedup tail
+            C = self.max_libjoin_bp
+            halo = int(min(C // 4, max(65_536, 2 * lens.max())))
+            slicer = _chunk_slicer(C)
+            step = C - 2 * halo
+            for c0 in range(0, max(1, Lp - 2 * halo), step):
+                c0 = min(c0, Lp - C)
+                _one_chunk(slicer(flat_d, jnp.int32(c0)), c0, C)
+                if c0 == Lp - C:
+                    break
+        return _dedup_cap(out, max_copies)
+
+
+def _similarity_groups(seqs: Sequence[np.ndarray],
+                       thresh: float = 0.7) -> List[int]:
+    """Group candidates by 4-mer-profile cosine similarity (host, cheap).
+
+    Single-linkage components over pairs with cosine >= thresh; used to
+    bound how many k-mer-sharing candidates enter one join batch.
+    """
+    n = len(seqs)
+    if n <= 1:
+        return [0] * n
+    prof = np.zeros((n, 256), np.float32)
+    for i, s in enumerate(seqs):
+        if len(s) < 4:
+            continue
+        v = np.asarray(s, dtype=np.int32)
+        ok = (v[:-3] < 4) & (v[1:-2] < 4) & (v[2:-1] < 4) & (v[3:] < 4)
+        codes = ((v[:-3] * 4 + v[1:-2]) * 4 + v[2:-1]) * 4 + v[3:]
+        if ok.any():
+            prof[i] = np.bincount(codes[ok], minlength=256)
+    unit = prof / np.maximum(np.linalg.norm(prof, axis=1, keepdims=True),
+                             1e-9)
+    sim = unit @ unit.T
+    parent = np.arange(n)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = int(parent[x])
+        return x
+
+    ii, jj = np.nonzero(sim >= thresh)
+    for a, b in zip(ii, jj):
+        if a < b:
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[ra] = rb
+    return [find(i) for i in range(n)]
+
+
+def _dedup_cap(out: List[List[CopyHit]], max_copies: int) -> List[List[CopyHit]]:
+    """Drop >=80%-overlapping duplicate hits, cap at max_copies per
+    candidate (prefer more seeds)."""
+    for c, hits in enumerate(out):
+        hits.sort(key=lambda h: -h.nseeds)
+        kept: List[CopyHit] = []
+        for h in hits:
+            dup = any(min(h.end, g.end) - max(h.start, g.start)
+                      > 0.8 * (h.end - h.start) for g in kept)
+            if not dup:
+                kept.append(h)
+            if len(kept) >= max_copies:
+                break
+        out[c] = kept
+    return out

@@ -77,19 +77,32 @@ def build_library(
     """
     libs: Dict[str, Dict[str, np.ndarray]] = {}
 
+    # terminal sequences the FiLTR cross-class filters pulled out of the
+    # LTR set (the reference's confident_*_from_ltr.fa join their module
+    # libraries before per-type clustering)
+    xc = ltr.cross_class if ltr is not None else {}
+
     with stage_timer("library.per_type"):
-        if tir is not None and len(tir.accepted):
-            libs["tir"] = _cluster_and_name(
-                _module_seqs(genome, tir), cfg, "TIR", "DNA")
-        if helitron is not None and len(helitron.accepted):
+        tir_seqs = (_module_seqs(genome, tir) if tir is not None else [])
+        tir_seqs += xc.get("tir", [])
+        if tir_seqs:
+            libs["tir"] = _cluster_and_name(tir_seqs, cfg, "TIR", "DNA")
+        hel_seqs = (_module_seqs(genome, helitron)
+                    if helitron is not None else [])
+        hel_seqs += xc.get("helitron", [])
+        if hel_seqs:
             libs["helitron"] = _cluster_and_name(
-                _module_seqs(genome, helitron), cfg, "Helitron", "RC/Helitron")
-        if non_ltr is not None and len(non_ltr.accepted):
-            type_labels = list(non_ltr.accepted.meta.get(
-                "te_type", ["LINE"] * len(non_ltr.accepted)))
+                hel_seqs, cfg, "Helitron", "RC/Helitron")
+        nl_seqs = (_module_seqs(genome, non_ltr)
+                   if non_ltr is not None else [])
+        type_labels = (list(non_ltr.accepted.meta.get(
+            "te_type", ["LINE"] * len(non_ltr.accepted)))
+            if non_ltr is not None else [])
+        nl_seqs += xc.get("non_ltr", [])
+        type_labels += ["SINE"] * len(xc.get("non_ltr", []))
+        if nl_seqs:
             libs["non_ltr"] = _cluster_and_name(
-                _module_seqs(genome, non_ltr), cfg, "Non_LTR", "LINE",
-                labels=type_labels)
+                nl_seqs, cfg, "Non_LTR", "LINE", labels=type_labels)
         if other:
             libs["other"] = dict(other)
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +65,9 @@ class LTRRecord:
 @dataclass
 class LTRResult:
     records: List[LTRRecord] = field(default_factory=list)
+    # terminal sequences re-routed by the FiLTR cross-class filters
+    # ({"tir"|"helitron"|"non_ltr": [codes]}, ltr_deep.cross_class_filter)
+    cross_class: Dict[str, List[np.ndarray]] = field(default_factory=dict)
 
     @property
     def intact_intervals(self) -> np.ndarray:

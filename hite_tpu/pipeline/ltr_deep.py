@@ -159,6 +159,71 @@ def deep_filter_records(
     return kept
 
 
+def cross_class_filter(
+    genome: Genome,
+    records: Sequence[LTRRecord],
+    cfg: PipelineConfig,
+) -> Tuple[List[LTRRecord], Dict[str, List[np.ndarray]]]:
+    """FiLTR's TIR/Helitron/SINE cross-class filters.
+
+    Re-implements `LTR_filter.py:175-200` (SURVEY.md §3.4): an intact-LTR
+    record whose LEFT TERMINAL is itself a structurally confirmed TIR /
+    Helitron / SINE element is a repeat pair masquerading as an LTR —
+    two genomic copies of a non-LTR element produce exactly this signature
+    (identical "terminals" far apart, random "internal").  Such records
+    leave the LTR set and their terminal sequences are re-routed to the
+    matching module library (the reference's `confident_*_from_ltr.fa`).
+
+    Returns (kept records, {"tir"|"helitron"|"non_ltr": [terminal codes]}).
+    """
+    from hite_tpu.pipeline.helitron import lcv_gate
+    from hite_tpu.pipeline.non_ltr import tail_gate
+    from hite_tpu.pipeline.tir import structural_gate
+
+    pools: Dict[str, List[np.ndarray]] = {}
+    if not records:
+        return [], pools
+    term_iv = np.array([[r.lltr_start, r.lltr_end] for r in records],
+                       np.int64)
+    routed: Dict[int, str] = {}
+
+    with stage_timer("ltr.cross_class"):
+        # TIR: TSD around the terminal + terminal inverted repeat
+        _adj, kept_idx = structural_gate(genome, term_iv, cfg)
+        for i in kept_idx:
+            routed.setdefault(int(i), "tir")
+
+        todo = [i for i in range(len(records)) if i not in routed]
+        # Helitron: LCV head/tail pairing covering most of the terminal
+        if todo:
+            hel_iv = lcv_gate(genome, term_iv[todo], cfg)
+            for g_s, g_e in hel_iv:
+                for i in todo:
+                    s, e = term_iv[i]
+                    ov = min(e, g_e) - max(s, g_s)
+                    if ov > 0.9 * (e - s):
+                        routed.setdefault(int(i), "helitron")
+
+        todo = [i for i in range(len(records)) if i not in routed]
+        # SINE: length window + polyA/tandem tail on the terminal
+        if todo:
+            sine_iv = tail_gate(genome, term_iv[todo], cfg)
+            sine_set = {(int(s), int(e)) for s, e in sine_iv}
+            for i in todo:
+                if (int(term_iv[i, 0]), int(term_iv[i, 1])) in sine_set:
+                    routed.setdefault(int(i), "non_ltr")
+
+    kept = [r for i, r in enumerate(records) if i not in routed]
+    for i, cls in sorted(routed.items()):
+        pools.setdefault(cls, []).append(
+            genome.extract(int(term_iv[i, 0]), int(term_iv[i, 1])))
+    if routed:
+        logger.info("ltr.cross_class: re-routed %d/%d records (%s)",
+                    len(routed), len(records),
+                    {c: len(v) for c, v in pools.items()})
+    return kept, pools
+
+
 def make_training_frames(
     genome: Genome,
     positives: Sequence[LTRRecord],

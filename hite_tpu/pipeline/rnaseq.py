@@ -180,7 +180,9 @@ def map_reads(genome, reads: Sequence[np.ndarray], cfg,
     from hite_tpu.pipeline.copies import CopyFinder, GenomeIndex
 
     gindex = gindex or GenomeIndex(genome, cfg)
-    finder = CopyFinder(gindex, min_seeds=3, max_chains=16)
+    # fill_w=8: reads tile features densely, so many reads share each
+    # genome k-mer (see CopyFinder fill_w note)
+    finder = CopyFinder(gindex, min_seeds=3, max_chains=16, fill_w=8)
     out: List[Optional[ReadMapping]] = []
     for b0 in range(0, len(reads), batch):
         chunk = list(reads[b0:b0 + batch])

@@ -230,8 +230,14 @@ def run_pipeline(
                 if path and os.path.exists(path):
                     from hite_tpu.models.trainer import load_params
                     cnn_params = load_params(path)
-            res = LTRResult(records=deep_filter_records(
-                genome, res.records, cfg, gindex, cnn_params=cnn_params))
+            kept = deep_filter_records(
+                genome, res.records, cfg, gindex, cnn_params=cnn_params)
+            # FiLTR cross-class filters: repeat pairs masquerading as LTRs
+            # re-route their terminals to the TIR/Helitron/SINE libraries
+            # (LTR_filter.py:175-200 -> confident_*_from_ltr.fa)
+            from hite_tpu.pipeline.ltr_deep import cross_class_filter
+            kept, pools = cross_class_filter(genome, kept, cfg)
+            res = LTRResult(records=kept, cross_class=pools)
             # NeuralTE-equivalent superfamily call on the intact elements
             # (judge_LTR_transposons.py:251-264)
             return _classified(res)
@@ -251,10 +257,11 @@ def run_pipeline(
     if out_dir:
         write_outputs(out_dir, genome, cfg, result)
 
-    # stage 5: annotation
-    if cfg.annotate and libs.get("merged"):
-        hits = annotate_genome(genome, libs["merged"], cfg, gindex,
-                               mesh=mesh)
+    # stage 5: annotation (an empty library still writes the empty
+    # gff/out/tbl set, like RepeatMasker)
+    if cfg.annotate:
+        hits = (annotate_genome(genome, libs["merged"], cfg, gindex,
+                                mesh=mesh) if libs.get("merged") else [])
         if out_dir:
             write_annotation(os.path.join(out_dir, "genome"), hits, genome)
         result.metrics["annotation_hits"] = len(hits)
@@ -276,7 +283,9 @@ def run_pipeline(
     # stage 7: library benchmarking (--BM_HiTE; gold lib = curated species
     # library, falling back to the vendored test.ref like the reference's
     # --species test, benchmarking.py:205-206)
-    if gold_lib_path(cfg) and libs.get("merged"):
+    # runs even with an empty library — the reference's evaluation reports
+    # all-zero metrics rather than skipping (lib_evaluation.py:157-168)
+    if gold_lib_path(cfg) and (cfg.bm_hite or cfg.bm_rm2):
         from hite_tpu.pipeline.benchmark import (
             evaluate_library, family_level_metrics,
         )
@@ -284,10 +293,10 @@ def run_pipeline(
         gold = read_fasta(gold_lib_path(cfg))
         if cfg.bm_hite:
             result.metrics["BM_HiTE"] = evaluate_library(
-                genome, libs["merged"], gold, cfg, gindex)
+                genome, libs.get("merged", {}), gold, cfg, gindex)
         if cfg.bm_rm2:
             result.metrics["BM_RM2"] = family_level_metrics(
-                libs["merged"], gold, cfg)
+                libs.get("merged", {}), gold, cfg)
         if out_dir:
             with open(os.path.join(out_dir, "benchmark.json"), "w") as fh:
                 json.dump({k: v for k, v in result.metrics.items()

@@ -53,11 +53,19 @@ def test_pipeline_golden(tmp_path):
     from hite_tpu.pipeline.coarse import CoarseParams
     from hite_tpu.pipeline.run import run_pipeline
 
+    # one structured TIR family (TIR termini + TSD) + one plain repeat:
+    # the plain repeat must NOT reach the library (structureless repeats
+    # are rejected by every module judge — the reference's behavior)
     rng = np.random.default_rng(21)
-    tes = ["".join("ACGT"[c] for c in rng.integers(0, 4, L))
-           for L in (400, 900)]
+    tir_t = rng.integers(0, 4, 20).astype(np.uint8)
+    while tir_t[0] == 3 and tir_t[1] == 2:
+        tir_t = rng.integers(0, 4, 20).astype(np.uint8)
+    tir_te = np.concatenate([tir_t, rng.integers(0, 4, 360).astype(np.uint8),
+                             (3 - tir_t)[::-1]])
+    tes = ["".join("ACGT"[c] for c in tir_te),
+           "".join("ACGT"[c] for c in rng.integers(0, 4, 900))]
     genome, _ = synthetic_genome(60_000, tes, [6, 4], seed=13,
-                                 mutation_rate=0.02)
+                                 mutation_rate=0.02, tsd_lens=[5, 0])
     cfg = PipelineConfig(
         annotate=True,
         align=AlignConfig(fixed_extend_base_threshold=2000))

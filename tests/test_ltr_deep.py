@@ -94,3 +94,48 @@ def test_deep_filter_and_training_frames(ltr_scene):
     kept2 = deep_filter_records(genome, recs, cfg, gindex, cnn_params=params,
                                 low_copy_threshold=0)
     assert isinstance(kept2, list)
+
+
+def test_cross_class_filter_reroutes_tir_pair(ltr_scene):
+    """A fake LTR whose terminals are TIR-element copies must re-route."""
+    from hite_tpu.pipeline.ltr_deep import cross_class_filter
+
+    rng = np.random.default_rng(5)
+    tir_t = rng.integers(0, 4, 20).astype(np.uint8)
+    while tir_t[0] == 3 and tir_t[1] == 2:
+        tir_t = rng.integers(0, 4, 20).astype(np.uint8)
+    tir_te = np.concatenate(
+        [tir_t, rng.integers(0, 4, 360).astype(np.uint8), (3 - tir_t)[::-1]])
+    bg = rng.integers(0, 4, 60_000).astype(np.uint8)
+    starts = [10_000, 18_000, 30_000, 42_000]
+    for pos in starts:
+        tsd = rng.integers(0, 4, 5).astype(np.uint8)
+        bg[pos - 5 : pos] = tsd
+        bg[pos + len(tir_te) : pos + len(tir_te) + 5] = tsd
+        bg[pos : pos + len(tir_te)] = tir_te
+    genome = Genome.from_dict({"chr1": bg})
+    cfg = PipelineConfig(align=AlignConfig(fixed_extend_base_threshold=2000))
+
+    # fake intact-LTR record: left "terminal" = one full TIR copy,
+    # right = the next copy, "internal" = 7.6kb of random background
+    fake = LTRRecord(start=starts[0], end=starts[1] + len(tir_te),
+                     lltr_start=starts[0], lltr_end=starts[0] + len(tir_te),
+                     rltr_start=starts[1], rltr_end=starts[1] + len(tir_te),
+                     identity=0.99, insert_time=0.0)
+    kept, pools = cross_class_filter(genome, [fake], cfg)
+    assert kept == []
+    assert len(pools.get("tir", [])) == 1
+    assert abs(len(pools["tir"][0]) - len(tir_te)) <= 10
+
+
+def test_cross_class_filter_keeps_real_ltr(ltr_scene):
+    from hite_tpu.pipeline.ltr_deep import cross_class_filter
+
+    genome, cfg, starts, el_len = ltr_scene
+    rec = LTRRecord(start=starts[0], end=starts[0] + el_len,
+                    lltr_start=starts[0], lltr_end=starts[0] + 250,
+                    rltr_start=starts[0] + el_len - 250,
+                    rltr_end=starts[0] + el_len, identity=1.0,
+                    insert_time=0.0)
+    kept, pools = cross_class_filter(genome, [rec], cfg)
+    assert len(kept) == 1 and not pools

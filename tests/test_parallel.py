@@ -98,11 +98,19 @@ def test_run_pipeline_with_mesh(tmp_path):
     from hite_tpu.pipeline.coarse import CoarseParams
     from hite_tpu.pipeline.run import run_pipeline
 
+    # plant STRUCTURED elements (TIR termini + TSD): structureless random
+    # repeats are correctly rejected by every module judge, leaving an
+    # empty library (they land in the low-copy pool instead)
     rng = np.random.default_rng(8)
-    tes = ["".join("ACGT"[c] for c in rng.integers(0, 4, L))
-           for L in (500, 1100)]
+    tir_t = rng.integers(0, 4, 20).astype(np.uint8)
+    while tir_t[0] == 3 and tir_t[1] == 2:
+        tir_t = rng.integers(0, 4, 20).astype(np.uint8)
+    tir_te = np.concatenate([tir_t, rng.integers(0, 4, 460).astype(np.uint8),
+                             (3 - tir_t)[::-1]])
+    tes = ["".join("ACGT"[c] for c in tir_te),
+           "".join("ACGT"[c] for c in rng.integers(0, 4, 1100))]
     genome, _ = synthetic_genome(60_000, tes, [6, 4], seed=15,
-                                 mutation_rate=0.02)
+                                 mutation_rate=0.02, tsd_lens=[5, 0])
     cfg = PipelineConfig(annotate=True,
                          align=AlignConfig(fixed_extend_base_threshold=2000))
     mesh = make_mesh(n_devices=8, dp=8, tp=1)
