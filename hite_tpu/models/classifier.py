@@ -86,3 +86,10 @@ def predict_labels(logits: jnp.ndarray, is_wicker: bool = True,
 
 LTR_SUPERFAMILIES = ("Copia", "Gypsy", "Bel-Pao", "Retrovirus", "DIRS",
                      "Ngaro", "VIPER")
+# cut-and-paste DNA transposons (Wicker class II subclass 1/2, minus RC)
+DNA_SUPERFAMILIES = ("Tc1-Mariner", "hAT", "Mutator", "Merlin", "Transib",
+                     "P", "PiggyBac", "PIF-Harbinger", "CACTA", "Crypton",
+                     "Maverick")
+# non-LTR retrotransposons (LINE + SINE superfamilies)
+NONLTR_SUPERFAMILIES = ("Penelope", "R2", "RTE", "Jockey", "L1", "I",
+                        "tRNA", "7SL", "5S")

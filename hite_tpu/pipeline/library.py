@@ -222,12 +222,29 @@ def refine_labels(merged: Dict[str, np.ndarray],
     mat, lens = pad_seqs(seqs, n_rows=pad_rows(len(seqs)))
     X = classifier_features(jnp.asarray(mat), jnp.asarray(lens))
     logits = model.apply(params, X[: len(target)])
-    labels = predict_labels(logits, is_wicker=cfg.classify.is_wicker)
+    # the classifier refines the superfamily WITHIN the structurally
+    # determined class — a module's structural verdict (TIR termini+TSD =
+    # DNA transposon, tail+TSD = LINE) must not be overruled by a CNN
+    # label from another class (NeuralTE's per-mode vocabularies behave
+    # the same way by construction)
+    from hite_tpu.models.classifier import (
+        DNA_SUPERFAMILIES, NONLTR_SUPERFAMILIES,
+    )
+
+    restrict_for = {"DNA": DNA_SUPERFAMILIES, "LINE": NONLTR_SUPERFAMILIES}
+    labels: Dict[str, str] = {}
+    for cls in sorted({n.partition("#")[2] for n in target}):
+        grp = [i for i, n in enumerate(target) if n.partition("#")[2] == cls]
+        grp_labels = predict_labels(np.asarray(logits)[grp],
+                                    is_wicker=cfg.classify.is_wicker,
+                                    restrict=restrict_for.get(cls))
+        for i, lab in zip(grp, grp_labels):
+            labels[target[i]] = lab
     out: Dict[str, np.ndarray] = {}
     for n, seq in merged.items():
         if n in target:
             base = n.partition("#")[0]
-            out[f"{base}#{labels[target.index(n)]}"] = seq
+            out[f"{base}#{labels[n]}"] = seq
         else:
             out[n] = seq
     logger.info("library: refined %d labels with the neural classifier",
