@@ -233,6 +233,7 @@ class PipelineConfig:
     coverage_threshold: float = 0.95     # benchmark coverage
     bm_hite: bool = False                # run BM_HiTE base-level evaluation
     bm_rm2: bool = False                 # run BM_RM2 family-level evaluation
+    bm_edta: bool = False                # run BM_EDTA confusion-matrix eval
     species_lib: Optional[str] = None    # curated benchmark library path
     debug: bool = False
     recover: bool = False                # resume from stage checkpoints

@@ -129,6 +129,51 @@ def evaluate_library(
     return metrics
 
 
+def evaluate_edta(
+    genome: Genome,
+    test_lib: Dict[str, np.ndarray],
+    gold_lib: Dict[str, np.ndarray],
+    cfg: PipelineConfig,
+    gindex: Optional[GenomeIndex] = None,
+) -> Dict[str, float]:
+    """BM_EDTA: base-level confusion matrix including true negatives.
+
+    Native equivalent of EDTA's `lib-test.pl -cat Total` protocol as the
+    reference drives it (`module/benchmarking.py:79-119`: RepeatMasker the
+    genome with both libraries, then compare masked-base sets): TP = bases
+    masked by both annotations, FN = gold-only, FP = test-only, TN = the
+    rest of the genome; reports sensitivity, specificity, accuracy,
+    precision, FDR and F1.
+    """
+    gindex = gindex or GenomeIndex(genome, cfg.align)
+    test_hits = annotate_genome(genome, test_lib, cfg, gindex)
+    gold_hits = annotate_genome(genome, gold_lib, cfg, gindex)
+    test_iv = iv.merge(_hits_to_flat_intervals(genome, test_hits))
+    gold_iv = iv.merge(_hits_to_flat_intervals(genome, gold_hits))
+    genome_bp = genome.size
+    gold_bp = iv.total_length(gold_iv)
+    test_bp = iv.total_length(test_iv)
+    if len(gold_iv) and len(test_iv):
+        cov = iv.coverage_fraction(gold_iv, test_iv)
+        tp = int(np.sum(cov * (gold_iv[:, 1] - gold_iv[:, 0])))
+    else:
+        tp = 0
+    fn = gold_bp - tp
+    fp = test_bp - tp
+    tn = max(0, genome_bp - gold_bp - fp)
+    metrics = dict(
+        TP=tp, FN=fn, FP=fp, TN=tn,
+        sensitivity=tp / (tp + fn) if (tp + fn) else 0.0,
+        specificity=tn / (tn + fp) if (tn + fp) else 0.0,
+        accuracy=(tp + tn) / genome_bp if genome_bp else 0.0,
+        precision=tp / (tp + fp) if (tp + fp) else 0.0,
+        FDR=fp / (tp + fp) if (tp + fp) else 0.0,
+        F1=2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0,
+    )
+    logger.info("BM_EDTA: %s", metrics)
+    return metrics
+
+
 def family_level_metrics(
     test_lib: Dict[str, np.ndarray],
     gold_lib: Dict[str, np.ndarray],

@@ -285,9 +285,9 @@ def run_pipeline(
     # --species test, benchmarking.py:205-206)
     # runs even with an empty library — the reference's evaluation reports
     # all-zero metrics rather than skipping (lib_evaluation.py:157-168)
-    if gold_lib_path(cfg) and (cfg.bm_hite or cfg.bm_rm2):
+    if gold_lib_path(cfg) and (cfg.bm_hite or cfg.bm_rm2 or cfg.bm_edta):
         from hite_tpu.pipeline.benchmark import (
-            evaluate_library, family_level_metrics,
+            evaluate_edta, evaluate_library, family_level_metrics,
         )
 
         gold = read_fasta(gold_lib_path(cfg))
@@ -297,6 +297,9 @@ def run_pipeline(
         if cfg.bm_rm2:
             result.metrics["BM_RM2"] = family_level_metrics(
                 libs.get("merged", {}), gold, cfg)
+        if cfg.bm_edta:
+            result.metrics["BM_EDTA"] = evaluate_edta(
+                genome, libs.get("merged", {}), gold, cfg, gindex)
         if out_dir:
             with open(os.path.join(out_dir, "benchmark.json"), "w") as fh:
                 json.dump({k: v for k, v in result.metrics.items()
@@ -309,7 +312,7 @@ def run_pipeline(
 def gold_lib_path(cfg: PipelineConfig) -> Optional[str]:
     """Curated benchmark library for --species (reference
     benchmarking.py:176-206 registry; only `test` ships with the repo)."""
-    if not (cfg.bm_hite or cfg.bm_rm2):
+    if not (cfg.bm_hite or cfg.bm_rm2 or cfg.bm_edta):
         return None
     if cfg.species_lib:
         from hite_tpu.pipeline.benchmark import species_library_path
@@ -399,6 +402,7 @@ def config_from_argv(argv=None):
     p.add_argument("--domain", type=int, default=0)
     p.add_argument("--BM_HiTE", type=int, default=0)
     p.add_argument("--BM_RM2", type=int, default=0)
+    p.add_argument("--BM_EDTA", type=int, default=0)
     p.add_argument("--species", default=None,
                    help="curated benchmark library FASTA path, or 'test'")
     p.add_argument("--remove_nested", type=int, default=1)
@@ -421,6 +425,7 @@ def config_from_argv(argv=None):
         is_denovo_nonltr=bool(args.is_denovo_nonltr),
         recover=bool(args.recover), domain=bool(args.domain),
         bm_hite=bool(args.BM_HiTE), bm_rm2=bool(args.BM_RM2),
+        bm_edta=bool(args.BM_EDTA),
         species_lib=(None if args.species in (None, "test")
                      else args.species),
     )

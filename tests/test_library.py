@@ -158,3 +158,28 @@ def test_classify_by_homology():
     merged2 = {"fam_0#Unknown": encode_seq(other[:600])}
     out2 = classify_by_homology(merged2, curated, cfg)
     assert "fam_0#Unknown" in out2
+
+
+def test_evaluate_edta_confusion_matrix(cfg):
+    from hite_tpu.pipeline.benchmark import evaluate_edta
+
+    rng = np.random.default_rng(4)
+    te = _rand(rng, 500)
+    bg = _rand(rng, 40_000)
+    for pos in (5_000, 15_000, 25_000, 35_000):
+        bg[pos : pos + 500] = te
+    genome = Genome.from_dict({"chr1": bg})
+    gold = {"fam0#DNA": te}
+
+    m_same = evaluate_edta(genome, gold, gold, cfg)
+    assert m_same["F1"] > 0.95
+    assert m_same["specificity"] > 0.95
+    assert m_same["FDR"] < 0.05
+    # TP+FN+FP+TN partitions the genome
+    assert m_same["TP"] + m_same["FN"] + m_same["FP"] + m_same["TN"] \
+        == genome.size
+
+    # an unrelated test lib: zero TP, specificity stays high
+    m_bad = evaluate_edta(genome, {"x#DNA": _rand(rng, 500)}, gold, cfg)
+    assert m_bad["TP"] == 0 and m_bad["sensitivity"] == 0.0
+    assert m_bad["specificity"] > 0.9
