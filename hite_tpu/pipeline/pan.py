@@ -447,22 +447,23 @@ def pan_benchmark(
     cfg: PipelineConfig,
     out_dir: Optional[str] = None,
 ) -> Dict[str, Dict[str, float]]:
-    """Per-genome BM_HiTE evaluation of one TE library (panTE_benchmarking.nf).
+    """Per-genome BM_HiTE + BM_EDTA evaluation of one TE library.
 
-    The reference fans `run_benchmarking_single` out per genome
-    (`panTE_benchmarking.nf:28-40`, BM_HiTE.log per genome); here each
-    jax.distributed host evaluates its genome partition and results are
-    exchanged with one all-gather.  BM_EDTA needs the external EDTA
-    `lib-test.pl` protocol and stays out of scope (COMPONENTS.md).
+    The reference fans `run_benchmarking_single` out per genome with both
+    metrics on (`panTE_benchmarking.nf:28-43`, `--BM_EDTA 1 --BM_HiTE 1`);
+    here each jax.distributed host evaluates its genome partition and
+    results are exchanged with one all-gather.
     """
     from hite_tpu.parallel import multihost as mh
-    from hite_tpu.pipeline.benchmark import evaluate_library
+    from hite_tpu.pipeline.benchmark import evaluate_edta, evaluate_library
 
     my_metrics: Dict[str, Dict[str, float]] = {}
     for gname in mh.partition(list(genomes.keys())):
         with stage_timer(f"pan.benchmark.{gname}"):
-            my_metrics[gname] = evaluate_library(
-                genomes[gname], te_lib, gold_lib, cfg)
+            m = evaluate_library(genomes[gname], te_lib, gold_lib, cfg)
+            m["BM_EDTA"] = evaluate_edta(genomes[gname], te_lib, gold_lib,
+                                         cfg)
+            my_metrics[gname] = m
     metrics = mh.merge_dicts(mh.allgather_obj(my_metrics))
     metrics = {n: metrics[n] for n in genomes if n in metrics}
     if out_dir:

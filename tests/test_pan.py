@@ -86,6 +86,7 @@ def test_pan_benchmark(tmp_path):
     assert set(metrics) == set(gs)
     for m in metrics.values():
         assert m["F1"] > 0.9, m          # lib vs itself: near-perfect
+        assert m["BM_EDTA"]["F1"] > 0.9 and m["BM_EDTA"]["FDR"] < 0.1
     saved = _json.load(open(tmp_path / "pan_benchmark.json"))
     assert set(saved) == set(gs)
 
