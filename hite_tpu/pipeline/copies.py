@@ -569,11 +569,15 @@ class CopyFinder:
 
 
 def _similarity_groups(seqs: Sequence[np.ndarray],
-                       thresh: float = 0.7) -> List[int]:
-    """Group candidates by 4-mer-profile cosine similarity (host, cheap).
+                       thresh: float = 0.35) -> List[int]:
+    """Group candidates by CENTERED 4-mer-profile cosine (host, cheap).
 
-    Single-linkage components over pairs with cosine >= thresh; used to
-    bound how many k-mer-sharing candidates enter one join batch.
+    Single-linkage components over pairs with centered cosine >= thresh;
+    used to bound how many k-mer-sharing candidates enter one join batch.
+    Centering matters: RAW 4-mer profiles of any two long DNA sequences
+    are both near-uniform, so their raw cosine is ~0.7 regardless of
+    homology — centered (Pearson) cosine is ~0 for unrelated sequences,
+    ~0.8 for family variants, ~0.4 for half-overlapping reads.
     """
     n = len(seqs)
     if n <= 1:
@@ -587,6 +591,7 @@ def _similarity_groups(seqs: Sequence[np.ndarray],
         codes = ((v[:-3] * 4 + v[1:-2]) * 4 + v[2:-1]) * 4 + v[3:]
         if ok.any():
             prof[i] = np.bincount(codes[ok], minlength=256)
+    prof -= prof.mean(axis=1, keepdims=True)
     unit = prof / np.maximum(np.linalg.norm(prof, axis=1, keepdims=True),
                              1e-9)
     sim = unit @ unit.T
