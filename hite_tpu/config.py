@@ -238,6 +238,9 @@ class PipelineConfig:
     debug: bool = False
     recover: bool = False                # resume from stage checkpoints
     seed: int = 0
+    # stage 0: drop contigs >=95% covered by a longer contig before any
+    # discovery (reference genome_clean.py, invoked at main.py:435-441)
+    clean_genome: bool = True
 
     align: AlignConfig = field(default_factory=AlignConfig)
     chunk: ChunkConfig = field(default_factory=ChunkConfig)

@@ -146,6 +146,11 @@ class Genome:
             self._device_cache[key] = ent
         return ent, L
 
+    def to_dict(self) -> Dict[str, np.ndarray]:
+        """Per-contig code arrays (views into flat), keyed by contig name."""
+        return {n: self.flat[self.starts[i] : self.starts[i] + self.lengths[i]]
+                for i, n in enumerate(self.names)}
+
     # ------------------------------------------------------------- extraction
     def extract(self, start: int, end: int, flank: int = 0) -> np.ndarray:
         """Codes for flat [start-flank, end+flank), clipped to the contig."""

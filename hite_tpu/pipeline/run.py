@@ -153,7 +153,23 @@ def run_pipeline(
     want = (lambda t: cfg.te_type in ("all", t))
     ckpt = Checkpointer(out_dir, cfg, enabled=cfg.recover)
 
-    # stage 0: curated-library homology (masks strong hits first, like the
+    # stage 0a: redundant-contig removal (reference genome_clean.py run
+    # before everything at main.py:435-441); contigs >=95% covered by a
+    # longer contig never enter discovery.  Only swaps the genome object
+    # when something was actually dropped (keeps device caches otherwise).
+    if cfg.clean_genome and len(genome.names) > 1:
+        from hite_tpu.pipeline.clean import clean_genome
+
+        with stage_timer("pipeline.clean"):
+            cleaned, _name_map = clean_genome(genome.to_dict(), cfg,
+                                              rename=False)
+        if len(cleaned.names) < len(genome.names):
+            logger.info("pipeline: genome_clean dropped %d of %d contigs",
+                        len(genome.names) - len(cleaned.names),
+                        len(genome.names))
+            genome = cleaned
+
+    # stage 0b: curated-library homology (masks strong hits first, like the
     # reference's --curated_lib pre-mask + judge_Other stage)
     other = ckpt.run("other",
                      lambda: run_other_detection(genome, cfg, cfg.curated_lib))
@@ -406,6 +422,8 @@ def config_from_argv(argv=None):
     p.add_argument("--species", default=None,
                    help="curated benchmark library FASTA path, or 'test'")
     p.add_argument("--remove_nested", type=int, default=1)
+    p.add_argument("--clean_genome", type=int, default=1,
+                   help="drop redundant contigs before discovery (stage 0)")
     p.add_argument("--is_denovo_nonltr", type=int, default=1)
     p.add_argument("--min_TE_len", type=int, default=80)
     p.add_argument("--is_wicker", type=int, default=0)
@@ -426,6 +444,7 @@ def config_from_argv(argv=None):
         recover=bool(args.recover), domain=bool(args.domain),
         bm_hite=bool(args.BM_HiTE), bm_rm2=bool(args.BM_RM2),
         bm_edta=bool(args.BM_EDTA),
+        clean_genome=bool(args.clean_genome),
         species_lib=(None if args.species in (None, "test")
                      else args.species),
     )

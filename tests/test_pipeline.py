@@ -76,6 +76,35 @@ def _build_genome():
     return genome, planted
 
 
+def test_pipeline_clean_stage_drops_redundant_contig(tmp_path):
+    """Stage 0 genome cleaning (reference genome_clean.py at main.py:435-441):
+    a contig >=95% covered by a longer contig never enters discovery."""
+    from hite_tpu.utils.log import STAGE_TIMES
+
+    rng = np.random.default_rng(5)
+    big = rng.integers(0, 4, 40_000).astype(np.uint8)
+    dup = big[1_000:11_000].copy()
+    genome = Genome.from_dict({"c1": big, "c2": dup})
+    cfg = PipelineConfig(te_type="tir",
+                         align=AlignConfig(fixed_extend_base_threshold=2000))
+
+    # opt-out first (STAGE_TIMES is a process-global accumulator)
+    STAGE_TIMES.clear()
+    run_pipeline(genome, cfg.replace(clean_genome=False),
+                 coarse_params=CoarseParams(seg_len=16_384, pair_batch=16))
+    assert "pipeline.clean" not in STAGE_TIMES
+
+    STAGE_TIMES.clear()
+    result = run_pipeline(genome, cfg, out_dir=str(tmp_path / "o"),
+                          coarse_params=CoarseParams(seg_len=16_384,
+                                                     pair_batch=16))
+    # the redundant contig was dropped before discovery: the clean stage ran
+    # and no accepted TE can live past the surviving contig
+    assert "pipeline.clean" in result.metrics["stage_times"]
+    for s, e in (result.tir.accepted.intervals if result.tir else []):
+        assert e <= 40_000 + 64
+
+
 @pytest.mark.slow
 def test_full_pipeline(tmp_path):
     genome, planted = _build_genome()
