@@ -32,22 +32,36 @@ TAIL_MOTIFS = [encode_seq(m) for m in ("CTAGT", "CTAAT", "CTGGT", "CTGAT")]
 HEAD_MOTIF = encode_seq("ATC")
 
 
-def _contains(hay: np.ndarray, needle: np.ndarray) -> bool:
-    n = len(needle)
-    if len(hay) < n:
-        return False
-    for i in range(len(hay) - n + 1):
-        if (hay[i : i + n] == needle).all():
-            return True
-    return False
+def _motif_starts(cons: np.ndarray, motif: np.ndarray) -> np.ndarray:
+    """Bool [L]: motif match starting at each position (sliding window)."""
+    n = len(motif)
+    L = len(cons)
+    out = np.zeros(L, bool)
+    if L >= n:
+        w = np.lib.stride_tricks.sliding_window_view(cons, n)
+        out[: L - n + 1] = (w == motif).all(1)
+    return out
 
 
 def make_helitron_judge():
-    """Judge: homology boundaries + ATC head / CTRRT tail motifs."""
+    """Judge: homology boundaries + ATC head / CTRRT tail motifs.
+
+    The +-5bp shift enumeration runs over precomputed sliding-window motif
+    hit arrays — O(1) per combo instead of a Python substring scan (host
+    numpy: the windows are ~10bp, far below tunnel-dispatch granularity)."""
 
     def judge(fa: FamilyAnalysis) -> Tuple[bool, int, int]:
         cons = fa.cons
         L = len(cons)
+        atc = _motif_starts(cons, HEAD_MOTIF)
+        tail_any = np.zeros(L, bool)
+        for m in TAIL_MOTIFS:
+            tail_any |= _motif_starts(cons, m)
+        n_cum = np.concatenate([[0], np.cumsum(cons >= 4)])
+
+        def n_free(a: int, b: int) -> bool:
+            return n_cum[min(b, L)] - n_cum[max(a, 0)] == 0
+
         best = None
         for dl in range(-5, 6):
             for dr in range(-5, 6):
@@ -59,13 +73,13 @@ def make_helitron_judge():
                 # A|T host site, so the consensus 'A' just left of the
                 # boundary completes the ATC context (judge_boundary_v6
                 # extends the boundary before the motif check)
-                head = cons[max(bl - 2, 0) : bl + 10]
-                tail = cons[br - 10 : br]
-                if (head >= 4).any() or (tail >= 4).any():
+                h0 = max(bl - 2, 0)
+                if not n_free(h0, bl + 10) or not n_free(br - 10, br):
                     continue
-                if not _contains(head, HEAD_MOTIF):
+                # motif must START within the window and fit inside it
+                if not atc[h0 : max(bl + 10 - 2, h0)].any():
                     continue
-                if not any(_contains(tail, m) for m in TAIL_MOTIFS):
+                if not tail_any[max(br - 10, 0) : max(br - 4, 0)].any():
                     continue
                 score = abs(dl) + abs(dr)
                 if best is None or score < best[0]:

@@ -96,10 +96,26 @@ def ltr_pair_candidates(
     seg_len: int = 131_072,
     use_masked: bool = True,
 ) -> List[Tuple[int, int, int, int]]:
-    """Self-alignment LTR-pair candidates: (lltr_s, lltr_e, rltr_s, rltr_e)."""
+    """Self-alignment LTR-pair candidates: (lltr_s, lltr_e, rltr_s, rltr_e).
+
+    Tiles OVERLAP by the maximum element span (2*max_ltr_len +
+    max_interior) so an element straddling a tile border is always fully
+    contained in some tile — the reference's LtrDetector scans whole
+    chromosomes in 10 Mb chunks with a position map
+    (bin/FiLTR-main/main.py:135-156); disjoint tiles would make boundary
+    elements unfindable.  Duplicate pairs from the overlap dedup here.
+    """
     lcfg = cfg.ltr
     acfg = cfg.align
-    segs = genome.segment_view(seg_len, use_masked=use_masked)
+    src = (genome.masked if (use_masked and genome.masked is not None)
+           else genome.flat)
+    halo = 2 * lcfg.max_ltr_len + lcfg.max_interior
+    step = max(seg_len - halo, seg_len // 4)
+    win_starts = np.arange(0, max(len(src) - halo, 1), step, dtype=np.int64)
+    segs = np.full((len(win_starts), seg_len), 4, np.uint8)
+    for wi, w0 in enumerate(win_starts):
+        chunk = src[w0 : w0 + seg_len]
+        segs[wi, : len(chunk)] = chunk
     segs_d = jnp.asarray(segs)
 
     def one_seg(seg):
@@ -113,6 +129,7 @@ def ltr_pair_candidates(
 
     one_seg_j = jax.jit(jax.vmap(one_seg))
     out: List[Tuple[int, int, int, int]] = []
+    seen: set = set()
     # skip (almost) fully masked segments
     live_idx = np.nonzero((segs < 4).mean(axis=1) >= 0.02)[0]
     for b0 in range(0, len(live_idx), 8):
@@ -126,7 +143,7 @@ def ltr_pair_candidates(
         ss, se = np.asarray(ch.ss), np.asarray(ch.se)
         valid = np.asarray(ch.valid)
         for bi in range(len(sel)):
-            off = int(sel[bi]) * seg_len
+            off = int(win_starts[sel[bi]])
             for i in np.nonzero(valid[bi])[0]:
                 a, b_, c, d = qs[bi, i], qe[bi, i], ss[bi, i], se[bi, i]
                 if c <= a:               # symmetric duplicate; keep left-first
@@ -139,6 +156,13 @@ def ltr_pair_candidates(
                     continue
                 if b_ > c:               # overlapping pair -> tandem, skip
                     continue
+                # dedup overlap-window duplicates (10bp-rounded coords,
+                # like the reference's get_integer_pos dedup)
+                key = tuple(int(x) // 10 for x in
+                            (off + a, off + b_, off + c, off + d))
+                if key in seen:
+                    continue
+                seen.add(key)
                 out.append((off + a, off + b_, off + c, off + d))
     return out
 
@@ -264,6 +288,110 @@ def refine_and_filter(
     return final
 
 
+def remove_dirty_records(records: List[LTRRecord]) -> List[LTRRecord]:
+    """Drop LTR records whose internal region fully contains another
+    candidate element (`remove_dirty_LTR`, FiLTR src/Util.py:7140-7180):
+    such "LTRs" are recombination products of two nested insertions."""
+    if len(records) < 2:
+        return records
+    order = sorted(range(len(records)), key=lambda i: records[i].start)
+    kept: List[LTRRecord] = []
+    for oi, i in enumerate(order):
+        cur = records[i]
+        dirty = False
+        for j in order[oi + 1:]:
+            nxt = records[j]
+            if nxt.start > cur.rltr_end:
+                break
+            if (cur.lltr_end < nxt.start < cur.rltr_start
+                    and cur.lltr_end < nxt.end < cur.rltr_start):
+                dirty = True
+                break
+        if not dirty:
+            kept.append(cur)
+    if len(kept) < len(records):
+        logger.info("ltr.dirty: dropped %d records containing another LTR",
+                    len(records) - len(kept))
+    return kept
+
+
+def _recomb_chain_cov(k: int):
+    """Jitted (terminal batch, internal batch) -> chained-coverage fraction
+    of each terminal within its own internal region (shape-bucketed)."""
+
+    @jax.jit
+    def fn(term: jnp.ndarray, internal: jnp.ndarray) -> jnp.ndarray:
+        def one(t, s):
+            km = enc.kmer_codes(t, k)
+            idx = build_index(s, k)
+            h = pair_hsps(km, idx, k=k, stride=1, max_hits=8, diag_band=16,
+                          run_gap=64, min_seeds=3, min_hsp_len=21,
+                          max_hsps=512)
+            ch = chain_hsps(h, extend_threshold=50, max_chains=64, min_len=21)
+            qlen = jnp.maximum(jnp.sum(t < 4), 1)
+            cov = jnp.max(jnp.where(ch.valid, ch.qe - ch.qs, 0))
+            return cov.astype(jnp.float32) / qlen.astype(jnp.float32)
+        return jax.vmap(one)(term, internal)
+
+    return fn
+
+
+_RECOMB_FNS: Dict[int, object] = {}
+
+
+def recombination_filter(
+    genome: Genome,
+    records: List[LTRRecord],
+    cfg: PipelineConfig,
+    coverage: float = 0.95,
+) -> List[LTRRecord]:
+    """Drop records whose LEFT terminal aligns over >= coverage of its
+    length inside the element's own internal region.
+
+    Reference `get_recombination_ltr` (FiLTR src/Util.py:7099-7138, driven
+    at src/LTR_filter.py:543-577): blastn left-LTR vs internal, any hit of
+    alignment_length/query_len >= 0.95 marks a recombination product.
+    Here the blastn is the shared seed->HSP->chain kernel, batched over
+    shape buckets (terminal width, internal width) so only log2 variants
+    compile."""
+    if not records:
+        return records
+    k = cfg.align.kmer_size
+    fn = _RECOMB_FNS.setdefault(k, _recomb_chain_cov(k))
+
+    # bucket by (pow2 terminal width, pow2 internal width)
+    buckets: Dict[Tuple[int, int], List[int]] = {}
+    terms: List[np.ndarray] = []
+    ints: List[np.ndarray] = []
+    for i, r in enumerate(records):
+        t = genome.extract(r.lltr_start, r.lltr_end)
+        s = genome.extract(r.lltr_end, r.rltr_start)
+        terms.append(t)
+        ints.append(s)
+        if len(t) < 2 * k or len(s) < 2 * k:
+            continue
+        key = (1 << max(6, (len(t) - 1).bit_length()),
+               1 << max(8, (len(s) - 1).bit_length()))
+        buckets.setdefault(key, []).append(i)
+
+    drop = np.zeros(len(records), bool)
+    B = 8
+    for (wt, wi), idxs in buckets.items():
+        for b0 in range(0, len(idxs), B):
+            sel = idxs[b0 : b0 + B]
+            tmat, _ = pad_seqs([terms[i] for i in sel], wt, n_rows=B)
+            smat, _ = pad_seqs([ints[i] for i in sel], wi, n_rows=B)
+            cov = np.asarray(fn(jnp.asarray(tmat), jnp.asarray(smat)))
+            for bi, i in enumerate(sel):
+                if cov[bi] >= coverage:
+                    drop[i] = True
+    kept = [r for i, r in enumerate(records) if not drop[i]]
+    if drop.any():
+        logger.info("ltr.recombination: dropped %d/%d records",
+                    int(drop.sum()), len(records))
+    return kept
+
+
 def run_ltr_detection(
     genome: Genome,
     cfg: PipelineConfig,
@@ -277,6 +405,11 @@ def run_ltr_detection(
     with stage_timer("ltr.refine"):
         records = refine_and_filter(genome, pairs, cfg)
     logger.info("ltr: %d intact LTR records after refinement", len(records))
+    # FiLTR precision pre-filters (step 1 of LTR_filter.py: recombination
+    # products, then records nesting another candidate)
+    with stage_timer("ltr.precision_prefilters"):
+        records = recombination_filter(genome, records, cfg)
+        records = remove_dirty_records(records)
 
     # copy-count annotation via the genome index (frame-level judgement)
     if records and gindex is not None:

@@ -100,6 +100,136 @@ def rule_judge_frame(M: np.ndarray) -> bool:
     return bool(_rule_judge_dev(jnp.asarray(M)))
 
 
+@jax.jit
+def _flank_homo_stats(M: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Per-candidate flank-homogeneity statistics from a frame matrix.
+
+    Returns (n_rows, left_homo, right_homo, joined_homo, joined_random):
+    a row is "homo" when it has at least one homologous partner row —
+    exactly membership in a >1-size cluster under the reference's cd-hit
+    single-linkage clustering (sort_frame, FiLTR utils/data_util.py:2792+).
+    Pairwise homology is aligned-column identity on the MXU (the frame rows
+    are already projected into center coordinates):
+      per-side  — overlap >= 20 cols at >= 0.8 identity  (cd-hit -c .8 -A 20)
+      joined    — >= 0.95 mutual coverage at >= 0.95     (-c .95 -aS/aL .95)
+    """
+    width = FRAME_FLANK
+    row_ok = (M < 4).sum(axis=1) > 0
+
+    def side(S, min_ov_abs, min_id, mutual):
+        oh = jax.nn.one_hot(S, 4, dtype=jnp.float32)        # N/gap -> zeros
+        valid = (S < 4).astype(jnp.float32)
+        matches = jnp.einsum("ilc,jlc->ij", oh, oh)
+        overlap = jnp.einsum("il,jl->ij", valid, valid)
+        ident = matches / jnp.maximum(overlap, 1.0)
+        nvalid = valid.sum(axis=1)
+        min_ov = jnp.maximum(
+            jnp.float32(min_ov_abs),
+            mutual * jnp.minimum(nvalid[:, None], nvalid[None, :]))
+        homo_pair = (overlap >= min_ov) & (ident >= min_id)
+        homo_pair &= ~jnp.eye(S.shape[0], dtype=bool)
+        homo_pair &= row_ok[:, None] & row_ok[None, :]
+        return homo_pair.any(axis=1)
+
+    left_h = side(M[:, :width], 20.0, 0.8, 0.0)
+    right_h = side(M[:, -width:], 20.0, 0.8, 0.0)
+    joined = jnp.concatenate([M[:, :width], M[:, -width:]], axis=1)
+    joined_h = side(joined, 50.0, 0.95, 0.95)
+    n = row_ok.sum()
+    return (n, (left_h & row_ok).sum(), (right_h & row_ok).sum(),
+            (joined_h & row_ok).sum(), (row_ok & ~joined_h).sum())
+
+
+def flank_homogeneity_ok(M: np.ndarray) -> bool:
+    """FiLTR flank-homogeneity cluster filters (LTR_filter.py:72-103).
+
+    (a) per-side (`sort_matrix_dir`): a real LTR's copies come from
+    different loci, so each side's 100 bp flank rows must be mostly
+    mutually NON-homologous; >= 0.8 (<20 rows) / 0.9 homologous fraction
+    on either side is the truncated-terminal / repeat-region signature.
+    (b) joined (`filter_ltr_by_flanking_cluster`): drop when rows whose
+    concatenated left+right flanks are near-identical to another row's
+    reach half the rows (LTR inside a mobile higher-order repeat).
+    Candidates with <= 1 frame rows are dropped here like the reference
+    (the single-copy gate downstream re-admits structured ones).
+    """
+    n, lh, rh, jh, jr = (int(x) for x in _flank_homo_stats(jnp.asarray(M)))
+    if n <= 1:
+        return False
+    thr = 0.8 if n < 20 else 0.9
+    if lh / n >= thr or rh / n >= thr:
+        return False
+    if jh >= jr:
+        return False
+    return True
+
+
+def single_copy_gate(
+    genome: Genome,
+    records: Sequence[LTRRecord],
+    copy_counts: Sequence[int],
+    cfg: PipelineConfig,
+) -> List[bool]:
+    """FiLTR single-copy filter (`filter_single_copy_ltr`,
+    src/Util.py:5955+, driven at LTR_filter.py:702-726): an element with
+    <= 1 full-length copies survives only when it has TSD structure AND a
+    >= 95%-intact LTR protein in its internal region; an intact OTHER-class
+    TE protein (TIR/Helitron transposase) inside disqualifies it outright.
+
+    LTRPeps.lib is a missing blob upstream (only blast index shards exist);
+    it activates via HITE_TPU_LIBRARY_DIR like LINEPeps.  Without it the
+    protein requirement degrades to TSD + TG...CA structure only
+    (documented divergence — strictly more permissive than the reference).
+    """
+    import os
+
+    from hite_tpu.pipeline.domain import DomainScanner, rescue_by_domain
+
+    singles = [i for i, c in enumerate(copy_counts) if c <= 1]
+    keep = [True] * len(records)
+    if not singles:
+        return keep
+
+    data_dir = os.path.join(os.path.dirname(__file__), "..", "data",
+                            "protein")
+    lib_dir = os.environ.get("HITE_TPU_LIBRARY_DIR", data_dir)
+    ltr_pep = os.path.join(lib_dir, "LTRPeps.lib")
+    internals = [genome.extract(records[i].lltr_end, records[i].rltr_start)
+                 for i in singles]
+
+    has_ltr_protein = None
+    if os.path.exists(ltr_pep):
+        has_ltr_protein = rescue_by_domain(
+            internals, DomainScanner.from_fasta(ltr_pep))
+    has_other_protein = np.zeros(len(singles), bool)
+    for other in ("TIRPeps.lib", "HelitronPeps.lib"):
+        path = os.path.join(data_dir, other)
+        if os.path.exists(path):
+            has_other_protein |= rescue_by_domain(
+                internals, DomainScanner.from_fasta(path))
+
+    dropped = 0
+    for si, i in enumerate(singles):
+        r = records[i]
+        if has_other_protein[si]:
+            keep[i] = False
+            dropped += 1
+            continue
+        # structure = a 4-6 bp TSD (reference search_ltr_structure scans
+        # the 8+3 bp end windows for a shared 4-6-mer; refine_and_filter
+        # already snapped rec.tsd_len from the same +-4 bp window search)
+        structured = r.tsd_len > 0
+        protein_ok = (bool(has_ltr_protein[si])
+                      if has_ltr_protein is not None else True)
+        if not (structured and protein_ok):
+            keep[i] = False
+            dropped += 1
+    if dropped:
+        logger.info("ltr.single_copy: dropped %d/%d single-copy records",
+                    dropped, len(singles))
+    return keep
+
+
 def cnn_inputs(M: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(image [100, L, 3], kmer channels [16, 16, 2]) from a frame matrix."""
     img = np.asarray(frame_image(jnp.asarray(M), n_rows=100))
@@ -134,14 +264,23 @@ def deep_filter_records(
     model = LTRFilterCNN() if cnn_params is not None else None
 
     kept: List[LTRRecord] = []
+    kept_copies: List[int] = []
     with stage_timer("ltr.deep_filter"):
         copy_sets = finder.find_copies(
             [genome.extract(r.start, r.end) for r in records],
             min_coverage=0.8, max_copies=cfg.msa.max_copies)
         for rec, copies in zip(records, copy_sets):
             M = both_ends_frame(genome, rec, copies)
-            if M is None:
-                kept.append(rec)            # not enough context to judge
+            if M is None or len(copies) <= 1:
+                # too little copy context for the frame filters: multi-copy
+                # records without frames pass (like the reference's
+                # not-found-boundary fallback); single-copy ones defer to
+                # the structure+protein gate below
+                kept.append(rec)
+                kept_copies.append(len(copies))
+                continue
+            # FiLTR flank-homogeneity cluster filters (per-side + joined)
+            if not flank_homogeneity_ok(M):
                 continue
             rule_ok = rule_judge_frame(M)
             if not rule_ok:
@@ -155,6 +294,11 @@ def deep_filter_records(
                     continue
             rec.copy_count = max(rec.copy_count, len(copies))
             kept.append(rec)
+            kept_copies.append(len(copies))
+        # FiLTR single-copy gate: <=1 full-length copies need TSD structure
+        # + intact LTR protein (and no other-class TE protein inside)
+        mask = single_copy_gate(genome, kept, kept_copies, cfg)
+        kept = [r for r, m in zip(kept, mask) if m]
     logger.info("ltr.deep_filter: %d/%d records kept", len(kept), len(records))
     return kept
 

@@ -55,6 +55,33 @@ def test_ltr_end_to_end():
     assert matched >= 1, [(r.start, r.end) for r in result.records]
 
 
+def test_ltr_found_across_segment_boundary():
+    """An element straddling a seg_len tile border must still be found
+    (round-1 gap: disjoint tiles made such elements unfindable; the tiles
+    now overlap by the max element span, like the reference LtrDetector's
+    10 Mb chunking, bin/FiLTR-main/main.py:135-156)."""
+    seg_len = 16_384
+    rng = np.random.default_rng(44)
+    ltr = rng.integers(0, 4, 250).astype(np.uint8)
+    ltr[0], ltr[1], ltr[-2], ltr[-1] = 3, 2, 1, 0
+    interior = rng.integers(0, 4, 2500).astype(np.uint8)
+    element = np.concatenate([ltr, interior, ltr])
+    bg = rng.integers(0, 4, 60_000).astype(np.uint8)
+    pos = seg_len - 1500        # element spans the tile border
+    tsd = rng.integers(0, 4, 5).astype(np.uint8)
+    bg[pos - 5 : pos] = tsd
+    bg[pos + len(element) : pos + len(element) + 5] = tsd
+    bg[pos : pos + len(element)] = element
+    genome = Genome.from_dict({"chr1": bg})
+
+    cfg = PipelineConfig(align=AlignConfig(fixed_extend_base_threshold=2000))
+    pairs = ltr_pair_candidates(genome, cfg, seg_len=seg_len,
+                                use_masked=False)
+    hit = [p for p in pairs
+           if abs(p[0] - pos) < 100 and abs(p[3] - (pos + len(element))) < 100]
+    assert hit, pairs
+
+
 def test_ltr_rejects_plain_repeat():
     # a two-copy plain repeat 3kb apart must not look like an LTR pair
     # (the terminal alignment extends through both flanks -> FP rule)...
