@@ -320,9 +320,11 @@ def cross_class_filter(
 
     Returns (kept records, {"tir"|"helitron"|"non_ltr": [terminal codes]}).
     """
-    from hite_tpu.pipeline.helitron import lcv_gate
-    from hite_tpu.pipeline.non_ltr import tail_gate
-    from hite_tpu.pipeline.tir import structural_gate
+    from hite_tpu.ops.terminal import find_terminal_repeat
+    from hite_tpu.pipeline.boundary_adjust import adjust_candidate
+    from hite_tpu.pipeline.helitron import make_helitron_judge
+    from hite_tpu.pipeline.non_ltr import make_nonltr_judge
+    from hite_tpu.pipeline.tir import make_tir_judge
 
     pools: Dict[str, List[np.ndarray]] = {}
     if not records:
@@ -331,31 +333,61 @@ def cross_class_filter(
                        np.int64)
     routed: Dict[int, str] = {}
 
+    gindex = GenomeIndex(genome, cfg.align)
+    finder = CopyFinder(gindex)
+
+    def rejudge(idxs: List[int], judge, min_copies: int) -> List[int]:
+        """Terminals whose full-length copy frames pass the given class
+        judge (one round of the MSA boundary engine — the reference runs
+        judge_boundary_v5 once on each terminal's frames,
+        filter_tir/filter_helitron/filter_sine src/Util.py:9980-10250;
+        the judge itself adapts to row count, so 2 rows suffice)."""
+        if not idxs:
+            return []
+        copy_sets = finder.find_copies(
+            [genome.extract(int(term_iv[i, 0]), int(term_iv[i, 1]))
+             for i in idxs],
+            min_coverage=0.9, max_copies=cfg.msa.max_copies)
+        hits = []
+        for i, copies in zip(idxs, copy_sets):
+            res = adjust_candidate(
+                genome, (int(term_iv[i, 0]), int(term_iv[i, 1])), copies,
+                cfg.msa, judge, min_copies)
+            if res.accepted:
+                hits.append((i, res.consensus))
+        return hits
+
     with stage_timer("ltr.cross_class"):
-        # TIR: TSD around the terminal + terminal inverted repeat
-        _adj, kept_idx = structural_gate(genome, term_iv, cfg)
-        for i in kept_idx:
-            routed.setdefault(int(i), "tir")
+        # TIR: copy frames pass the full TSD-vote judge AND the adjusted
+        # consensus carries a terminal inverted repeat (the reference's
+        # get_confident_TIR itrsearch step)
+        tir_hits = rejudge(list(range(len(records))),
+                           make_tir_judge(cfg.plant), 2)
+        if tir_hits:
+            mats, lens = pad_seqs([c for _, c in tir_hits],
+                                  n_rows=pad_rows(len(tir_hits)))
+            tr = find_terminal_repeat(
+                jnp.asarray(mats), jnp.asarray(lens), inverted=True,
+                window=cfg.terminal.end_window,
+                min_identity=cfg.terminal.itr_identity,
+                min_len=cfg.terminal.itr_min_len)
+            ok = np.asarray(tr.found)
+            for bi, (i, _c) in enumerate(tir_hits):
+                if ok[bi]:
+                    routed.setdefault(int(i), "tir")
 
         todo = [i for i in range(len(records)) if i not in routed]
-        # Helitron: LCV head/tail pairing covering most of the terminal
-        if todo:
-            hel_iv = lcv_gate(genome, term_iv[todo], cfg)
-            for g_s, g_e in hel_iv:
-                for i in todo:
-                    s, e = term_iv[i]
-                    ov = min(e, g_e) - max(s, g_s)
-                    if ov > 0.9 * (e - s):
-                        routed.setdefault(int(i), "helitron")
+        # Helitron: copy frames pass the ATC-head/CTRRT-tail judge
+        for i, _c in rejudge(todo, make_helitron_judge(), 2):
+            routed.setdefault(int(i), "helitron")
 
         todo = [i for i in range(len(records)) if i not in routed]
-        # SINE: length window + polyA/tandem tail on the terminal
-        if todo:
-            sine_iv = tail_gate(genome, term_iv[todo], cfg)
-            sine_set = {(int(s), int(e)) for s, e in sine_iv}
-            for i in todo:
-                if (int(term_iv[i, 0]), int(term_iv[i, 1])) in sine_set:
-                    routed.setdefault(int(i), "non_ltr")
+        # SINE: length window + the non-LTR tail/TSD judge on copy frames
+        sine_todo = [i for i in todo
+                     if cfg.non_ltr.sine_min
+                     <= term_iv[i, 1] - term_iv[i, 0] <= cfg.non_ltr.sine_max]
+        for i, _c in rejudge(sine_todo, make_nonltr_judge(cfg), 2):
+            routed.setdefault(int(i), "non_ltr")
 
     kept = [r for i, r in enumerate(records) if i not in routed]
     for i, cls in sorted(routed.items()):
