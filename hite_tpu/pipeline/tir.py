@@ -79,7 +79,9 @@ def make_tir_judge(plant: bool):
                        else np.full(5, 4, np.uint8) for b in brs])
         bl_ok &= (t5 < 4).all(1)
         br_ok &= (t3 < 4).all(1)
-        t3rc = np.stack([np_revcomp(row) for row in t3])
+        # gap code 5 appears in consensus columns; sanitize to N before the
+        # complement table lookup (invalid rows are masked via br_ok anyway)
+        t3rc = np.stack([np_revcomp(np.minimum(row, 4)) for row in t3])
         ham = (t5[:, None, :] != t3rc[None, :, :]).sum(-1)     # [9, 9]
         pair_ok = (bl_ok[:, None] & br_ok[None, :]
                    & ((brs[None, :] - bls[:, None]) >= 30) & (ham <= 1))

@@ -57,16 +57,52 @@ def verify_families(
     gindex = gindex or GenomeIndex(genome, cfg.align)
     finder = CopyFinder(gindex)
 
+    # Pre-cluster candidates by sequence similarity BEFORE copy retrieval
+    # (the reference's cd-hit-est step, judge_TIR_transposons.py:87-89):
+    # only one representative per similarity group enters the whole-genome
+    # join — near-identical candidates (per-copy intervals of one family)
+    # would otherwise each pay a full-genome sort as separate join waves.
+    from hite_tpu.pipeline.copies import _similarity_groups
+
+    seqs = [genome.extract(s, e) for s, e in gated]
+    sim_groups = _similarity_groups(seqs)
+    group_members: dict = {}
+    for i, g in enumerate(sim_groups):
+        group_members.setdefault(int(g), []).append(i)
+    # representative = the member of MEDIAN length: chimeric candidates that
+    # chain two adjacent copies are over-long outliers with few full-length
+    # genomic copies (the old most-copies ranking rejected them; without
+    # copy counts yet, median length is the robust proxy)
+    def _median_member(idxs):
+        order = sorted(idxs, key=lambda i: len(seqs[i]))
+        return order[(len(order) - 1) // 2]
+
+    rep_of_group = {g: _median_member(idxs)
+                    for g, idxs in group_members.items()}
+    rep_idx = sorted(rep_of_group.values())
+
     with stage_timer(f"{stage}.copies"):
-        copy_sets = finder.find_copies(
-            [genome.extract(s, e) for s, e in gated],
+        rep_copy_sets = finder.find_copies(
+            [seqs[i] for i in rep_idx],
             min_coverage=min_coverage, max_copies=cfg.msa.max_copies)
-    groups = cluster_by_copies(copy_sets)
+    copy_sets: dict = dict(zip(rep_idx, rep_copy_sets))
+
+    groups = cluster_by_copies(rep_copy_sets)
     members: dict = {}
-    for i, g in enumerate(groups):
-        members.setdefault(int(g), []).append(i)
-    logger.info("%s: %d families from %d candidates", stage, len(members),
-                len(gated))
+    for gi, g in enumerate(groups):
+        members.setdefault(int(g), []).append(rep_idx[gi])
+    # alternates: same-similarity-group co-members of each family's reps,
+    # tried only if every representative fails (copies fetched lazily)
+    alternates: dict = {}
+    for g, idxs in members.items():
+        alts = []
+        for rep in idxs:
+            alts.extend(i for i in group_members[sim_groups[rep]]
+                        if i != rep)
+        med = (np.median([len(seqs[i]) for i in alts]) if alts else 0)
+        alternates[g] = sorted(alts, key=lambda i: abs(len(seqs[i]) - med))
+    logger.info("%s: %d families from %d candidates (%d reps mapped)",
+                stage, len(members), len(gated), len(rep_idx))
 
     accepted: List[Tuple[int, int]] = []
     consensus: List[np.ndarray] = []
@@ -94,8 +130,13 @@ def verify_families(
         for g, idxs in ordered_members.items():
             family_done = False
             family_low: Optional[Tuple[int, int]] = None
-            for attempt, rep in enumerate(idxs[:3]):
+            attempt_order = (idxs + alternates[g])[:3]
+            for attempt, rep in enumerate(attempt_order):
                 interval = (int(gated[rep, 0]), int(gated[rep, 1]))
+                if rep not in copy_sets:   # lazy fetch for alternates
+                    copy_sets[rep] = finder.find_copies(
+                        [seqs[rep]], min_coverage=min_coverage,
+                        max_copies=cfg.msa.max_copies)[0]
                 copies = copy_sets[rep]
                 result: Optional[AdjustResult] = None
                 for _round in range(cfg.msa.boundary_rounds):
