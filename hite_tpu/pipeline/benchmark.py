@@ -83,8 +83,8 @@ def evaluate_library(
 ) -> Dict[str, float]:
     """Base-level TP/FP/FN/sensitivity/precision/F1 of test vs gold."""
     gindex = gindex or GenomeIndex(genome, cfg.align)
-    test_hits = annotate_genome(genome, test_lib, cfg, gindex)
-    gold_hits = annotate_genome(genome, gold_lib, cfg, gindex)
+    test_hits = annotate_genome(genome, test_lib, cfg, gindex, rescore=False)
+    gold_hits = annotate_genome(genome, gold_lib, cfg, gindex, rescore=False)
     test_iv = iv.merge(_hits_to_flat_intervals(genome, test_hits))
     gold_iv = iv.merge(_hits_to_flat_intervals(genome, gold_hits))
 
@@ -146,8 +146,8 @@ def evaluate_edta(
     precision, FDR and F1.
     """
     gindex = gindex or GenomeIndex(genome, cfg.align)
-    test_hits = annotate_genome(genome, test_lib, cfg, gindex)
-    gold_hits = annotate_genome(genome, gold_lib, cfg, gindex)
+    test_hits = annotate_genome(genome, test_lib, cfg, gindex, rescore=False)
+    gold_hits = annotate_genome(genome, gold_lib, cfg, gindex, rescore=False)
     test_iv = iv.merge(_hits_to_flat_intervals(genome, test_hits))
     gold_iv = iv.merge(_hits_to_flat_intervals(genome, gold_hits))
     genome_bp = genome.size
@@ -181,54 +181,108 @@ def family_level_metrics(
     perfect_cov: float = 0.95,
     good_cov: float = 0.95,
     present_cov: float = 0.8,
+    perfect_div: float = 0.05,
+    present_div: float = 0.20,
+    min_test_cov: float = 0.1,
 ) -> Dict[str, int]:
-    """BM_RM2-style family-level counts (RepeatModeler2 protocol,
-    `bin/get_family_summary_paper.sh`, `module/benchmarking.py:44-52`):
+    """BM_RM2 family-level counts — the RepeatModeler2 protocol exactly as
+    `bin/get_family_summary_paper.sh` computes it from a RepeatMasker run
+    of the TEST library masked with the curated families
+    (`module/benchmarking.py:44-52`):
 
-    perfect — one test family reciprocally covers >= perfect_cov of a gold
-    family; good — one test family covers >= good_cov of the gold family
-    (one-way); present — the union of test families covers >= present_cov.
+    Alignment *fragments* between test entries and curated families carry
+    (gold coverage, test coverage, divergence); then per curated family:
+      perfect — ONE fragment with gold & test coverage > 0.95 at div < 5%
+                (script: `$4>0.95 && $7>0.95 && $8<5.0`)
+      good    — fragments with div < 5% merged on the curated sequence
+                cover > 0.95 (`covsumm95`), minus perfect
+      present — fragments with div < 20% merged cover > 0.8 (`covsumm80`;
+                a superset that includes perfect/good)
+    Fragments with test coverage <= 0.1 are dropped (`$7>0.1` filter).
+    Here the fragments are seed->chain hits and divergence comes from the
+    batched SW kernel (real alignment identity, not a seed proxy).
     """
+    import jax.numpy as jnp
+
+    from hite_tpu.ops.terminal import batched_local_align_auto
+    from hite_tpu.pipeline.candidates import pad_seqs
     from hite_tpu.pipeline.libcluster import _all_pairs_hits
     from hite_tpu.utils import intervals as iv_mod
 
     gold_names = list(gold_lib.keys())
     test_names = list(test_lib.keys())
-    pool = [gold_lib[n] for n in gold_names] + [test_lib[n] for n in test_names]
-    hits = _all_pairs_hits(pool, cfg.align)
     ng = len(gold_names)
+    pool = [gold_lib[n] for n in gold_names] + [test_lib[n] for n in test_names]
     lens = np.array([len(s) for s in pool])
+    metrics = dict(perfect=0, good=0, present=0, total=ng, missing=ng)
+    if ng == 0 or not test_names:
+        logger.info("BM_RM2: %s", metrics)
+        return metrics
+    hits = _all_pairs_hits(pool, cfg.align)
 
-    perfect = good = present = 0
-    for g in range(ng):
-        # spans of g covered by mappings of test entries onto g, and
-        # per-test-entry one-way coverage
-        union_spans: List = []
-        best_oneway = 0.0
-        best_recip = 0.0
-        for t in range(ng, len(pool)):
-            t_spans = [(os_, oe) for (j, _a, _b, os_, oe, _n) in hits[t]
-                       if j == g]
-            if not t_spans:
+    # fragment list: (gold idx, gold span, test idx) from test->gold chains
+    frag_meta: List[Tuple[int, int, int, int]] = []
+    pairs: List[Tuple[np.ndarray, np.ndarray]] = []
+    for ti in range(ng, len(pool)):
+        for (j, _qs, _qe, os_, oe, _ns) in hits[ti]:
+            if j >= ng or oe - os_ < 30:
                 continue
-            cov_g = iv_mod.total_length(np.array(t_spans)) / max(lens[g], 1)
-            union_spans.extend(t_spans)
-            best_oneway = max(best_oneway, cov_g)
-            # reciprocal: how much of the test entry maps onto g
-            g_spans = [(os_, oe) for (j, _a, _b, os_, oe, _n) in hits[g]
-                       if j == t]
-            cov_t = (iv_mod.total_length(np.array(g_spans)) / max(lens[t], 1)
-                     if g_spans else 0.0)
-            best_recip = max(best_recip, min(cov_g, cov_t))
-        union_cov = (iv_mod.total_length(np.array(union_spans)) / max(lens[g], 1)
-                     if union_spans else 0.0)
-        if best_recip >= perfect_cov:
-            perfect += 1
-        elif best_oneway >= good_cov:
-            good += 1
-        elif union_cov >= present_cov:
-            present += 1
-    metrics = dict(perfect=perfect, good=good, present=present,
-                   total=ng, missing=ng - perfect - good - present)
+            frag_meta.append((j, os_, oe, ti))
+            pairs.append((pool[ti], pool[j][os_:oe]))
+
+    # per-fragment SW: identity + aligned test span (clipped to 4096)
+    test_cov = np.zeros(len(pairs))
+    div = np.ones(len(pairs))
+    B = 64
+    order = sorted(range(len(pairs)),
+                   key=lambda i: max(len(pairs[i][0]), len(pairs[i][1])))
+    for b0 in range(0, len(order), B):
+        sel = order[b0 : b0 + B]
+        a_seqs = [pairs[i][0][:4096] for i in sel]
+        b_seqs = [pairs[i][1][:4096] for i in sel]
+        width = max(max((len(s) for s in a_seqs), default=64),
+                    max((len(s) for s in b_seqs), default=64), 64)
+        width = 1 << (width - 1).bit_length()
+        rows = 1 << (len(sel) - 1).bit_length()
+        a_mat, _ = pad_seqs(a_seqs, width, n_rows=rows)
+        b_mat, _ = pad_seqs(b_seqs, width, n_rows=rows)
+        al = batched_local_align_auto(jnp.asarray(a_mat), jnp.asarray(b_mat))
+        qs, qe = np.asarray(al.qs), np.asarray(al.qe)
+        matches, alen = np.asarray(al.matches), np.asarray(al.alen)
+        for bi, i in enumerate(sel):
+            t_len = max(len(pairs[i][0]), 1)
+            test_cov[i] = (qe[bi] - qs[bi]) / t_len
+            div[i] = 1.0 - matches[bi] / max(int(alen[bi]), 1)
+
+    perfect_set = set()
+    good_perfect_set = set()
+    present_set = set()
+    for g in range(ng):
+        spans95: List[Tuple[int, int]] = []
+        spans80: List[Tuple[int, int]] = []
+        for fi, (gj, os_, oe, _ti) in enumerate(frag_meta):
+            if gj != g or test_cov[fi] <= min_test_cov:
+                continue
+            gold_cov = (oe - os_) / max(lens[g], 1)
+            if div[fi] < perfect_div:
+                spans95.append((os_, oe))
+                if gold_cov > perfect_cov and test_cov[fi] > perfect_cov:
+                    perfect_set.add(g)
+            if div[fi] < present_div:
+                spans80.append((os_, oe))
+        if spans95 and iv_mod.total_length(
+                iv_mod.merge(np.array(spans95))) / lens[g] > good_cov:
+            good_perfect_set.add(g)
+        if spans80 and iv_mod.total_length(
+                iv_mod.merge(np.array(spans80))) / lens[g] > present_cov:
+            present_set.add(g)
+
+    metrics = dict(
+        perfect=len(perfect_set),
+        good=len(good_perfect_set - perfect_set),
+        present=len(present_set),
+        total=ng,
+        missing=ng - len(present_set | good_perfect_set | perfect_set),
+    )
     logger.info("BM_RM2: %s", metrics)
     return metrics

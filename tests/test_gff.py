@@ -54,3 +54,34 @@ def test_full_length_gff(tmp_path):
     write_full_length_gff(p, _hits())
     lines = [l for l in open(p) if not l.startswith("#")]
     assert len(lines) == 1 and "TIR_0" in lines[0]
+
+
+def test_annotation_identity_is_real_alignment_identity():
+    """GFF Identity / .out div come from the SW kernel, not the seed proxy:
+    a ~10%-mutated copy must score ~0.9, a clean copy ~1.0."""
+    import numpy as np
+
+    from hite_tpu.config import PipelineConfig
+    from hite_tpu.genome import Genome
+    from hite_tpu.pipeline.annotate import annotate_genome
+
+    rng = np.random.default_rng(12)
+    te = rng.integers(0, 4, 800).astype(np.uint8)
+    bg = rng.integers(0, 4, 40_000).astype(np.uint8)
+    bg[5_000:5_800] = te                       # exact copy
+    noisy = te.copy()
+    muts = rng.random(len(noisy)) < 0.10
+    noisy[muts] = (noisy[muts] + rng.integers(1, 4, muts.sum())) % 4
+    bg[20_000:20_800] = noisy                  # ~10% diverged copy
+    genome = Genome.from_dict({"chr1": bg})
+
+    lib = {"fam#DNA": te}
+    hits = annotate_genome(genome, lib, PipelineConfig())
+    def near(pos):
+        return next((h for h in hits if abs(h.start - pos) <= 10), None)
+
+    exact = near(5_001)
+    div = near(20_001)
+    assert exact is not None and div is not None, [h.start for h in hits]
+    assert exact.identity > 0.98
+    assert 0.82 < div.identity < 0.95, div.identity

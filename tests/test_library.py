@@ -183,3 +183,20 @@ def test_evaluate_edta_confusion_matrix(cfg):
     m_bad = evaluate_edta(genome, {"x#DNA": _rand(rng, 500)}, gold, cfg)
     assert m_bad["TP"] == 0 and m_bad["sensitivity"] == 0.0
     assert m_bad["specificity"] > 0.9
+
+
+def test_family_level_metrics_divergence_gates(cfg):
+    """RM2 protocol divergence gates: a ~10%-diverged full-length match is
+    `present` (div<20%) but never `perfect`/`good` (div<5%)."""
+    rng = np.random.default_rng(21)
+    fam = _rand(rng, 800)
+    noisy = fam.copy()
+    muts = rng.random(len(noisy)) < 0.10
+    noisy[muts] = (noisy[muts] + rng.integers(1, 4, muts.sum())) % 4
+    gold = {"g0#DNA": fam}
+    m = family_level_metrics({"t0#DNA": noisy}, gold, cfg)
+    assert m["perfect"] == 0 and m["good"] == 0
+    assert m["present"] == 1, m
+
+    m2 = family_level_metrics({"t0#DNA": fam.copy()}, gold, cfg)
+    assert m2["perfect"] == 1
