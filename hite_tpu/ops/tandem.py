@@ -65,17 +65,25 @@ def tandem_mask(
     density: float = 0.8,
     window: int = 24,
 ) -> jnp.ndarray:
-    """Boolean tandem mask over [..., L] code arrays."""
-    L = seqs.shape[-1]
-    out = jnp.zeros(seqs.shape, jnp.bool_)
+    """Boolean tandem mask over [..., L] code arrays.
+
+    All periods are stacked into one [..., P, L] tensor scored by a SINGLE
+    fixed-width reduce_window: the original per-period loop emitted 16
+    reduce_windows of distinct window sizes, and that program's remote
+    compile ran for >8 min at [16, 128K] on the axon toolchain (hardware
+    profile, round 2) — another instance of the scan-family compile
+    blowup.  A fixed window is decision-equivalent here: true tandem
+    arrays match at EVERY in-array position, so density over 24 bp is
+    insensitive to period (long periods are the long_tandem_mask kernel's
+    job anyway)."""
+    eqs = []
     for p in range(1, max_period + 1):
         eq = (seqs[..., p:] == seqs[..., :-p]) & (seqs[..., p:] < 4)
-        eq_full = jnp.concatenate(
-            [jnp.zeros(seqs.shape[:-1] + (p,), jnp.bool_), eq], axis=-1
-        )
-        dens = _box_density(eq_full, max(window, 2 * p))
-        out = out | (dens >= density)
-    return out
+        eqs.append(jnp.concatenate(
+            [jnp.zeros(seqs.shape[:-1] + (p,), jnp.bool_), eq], axis=-1))
+    stack = jnp.stack(eqs, axis=-2)               # [..., P, L]
+    dens = _box_density(stack, window)
+    return (dens >= density).any(-2)
 
 
 def _long_mask_1d(flat: jnp.ndarray, k: int, max_period: int,
