@@ -38,23 +38,62 @@ def kmer_frequencies(seqs: jnp.ndarray, lens: jnp.ndarray, k: int) -> jnp.ndarra
 def terminal_kmer_features(
     seqs: jnp.ndarray, lens: jnp.ndarray,
     *, window: int = 50, ks: Sequence[int] = (3, 4),
+    term_lens: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """k-mer frequencies of the 5' and 3' terminal windows, concatenated.
 
-    Mirrors NeuralTE's terminal 3-/4-mer features of the located termini
-    (`identify_terminals`, `data_util.py:671-733`).  [B, 2 * sum(4^k)].
+    Mirrors NeuralTE's terminal 3-/4-mer features of the LOCATED termini
+    (`identify_terminals`, `data_util.py:671-733`): when `term_lens` [B]
+    is given (from `locate_termini` — the ltrsearch/itrsearch-equivalent
+    terminal scan), each row's terminal window is its located terminal
+    length (clipped to `window`); otherwise a fixed `window` bp.
+    [B, 2 * sum(4^k)].
     """
     B, L = seqs.shape
     head = seqs[:, :window]
     offs = jax.lax.broadcasted_iota(jnp.int32, (B, window), 1)
+    win_lens = (jnp.minimum(jnp.maximum(term_lens, 7), window)
+                if term_lens is not None
+                else jnp.full((B,), window, jnp.int32))
+    win_lens = jnp.minimum(win_lens, lens)
+    # 3' window: last win_lens[b] bases, right-aligned into [B, window]
     ridx = jnp.clip(lens[:, None] - window + offs, 0, L - 1)
     tail = jnp.take_along_axis(seqs, ridx, axis=1)
-    head_lens = jnp.minimum(lens, window)
+    # mask tail positions before the located terminal start
+    mask = offs >= (window - win_lens[:, None])
+    tail = jnp.where(mask, tail, 4)
+    # shift so the terminal starts at column 0 (kmer_frequencies masks by
+    # a prefix length) — roll each row left by (window - win_lens)
+    shift = (window - win_lens)[:, None]
+    rolled_idx = jnp.clip(offs + shift, 0, window - 1)
+    tail = jnp.take_along_axis(tail, rolled_idx, axis=1)
     feats = []
     for k in ks:
-        feats.append(kmer_frequencies(head, head_lens, k))
-        feats.append(kmer_frequencies(tail, head_lens, k))
+        feats.append(kmer_frequencies(head, win_lens, k))
+        feats.append(kmer_frequencies(tail, win_lens, k))
     return jnp.concatenate(feats, axis=1)
+
+
+def locate_termini(seqs: jnp.ndarray, lens: jnp.ndarray,
+                   *, ltr_window: int = 100, itr_window: int = 40,
+                   ) -> jnp.ndarray:
+    """Terminal lengths [B] from the ltrsearch/itrsearch-equivalent scan.
+
+    NeuralTE locates each TE's termini by running `ltrsearch -l 50` then
+    `itrsearch -i 0.7 -l 7` (`identify_terminals`, data_util.py:671-733)
+    and takes the terminal k-mer features over the located terminal.
+    Here both scans are one batched SW each; rows where neither scan
+    finds a terminal fall back to 50 bp.
+    """
+    from hite_tpu.ops.terminal import find_terminal_repeat
+
+    ltr = find_terminal_repeat(seqs, lens, inverted=False, window=ltr_window,
+                               min_identity=0.85, min_len=50)
+    itr = find_terminal_repeat(seqs, lens, inverted=True, window=itr_window,
+                               min_identity=0.7, min_len=7)
+    term = jnp.where(ltr.found, ltr.length,
+                     jnp.where(itr.found, itr.length, 50))
+    return term.astype(jnp.int32)
 
 
 def classifier_features(
@@ -63,18 +102,31 @@ def classifier_features(
     *,
     internal_k: int = 5,
     terminal_ks: Sequence[int] = (3, 4),
-    tsd_onehot: jnp.ndarray | None = None,    # [B, 16*5] optional
-    domain_onehot: jnp.ndarray | None = None,  # [B, 29] optional
+    term_lens: jnp.ndarray | None = None,      # [B] located terminal lengths
+    tsd_onehot: jnp.ndarray | None = None,     # [B, 16*5]
+    domain_onehot: jnp.ndarray | None = None,  # [B, 29]
 ) -> jnp.ndarray:
-    """Full NeuralTE-equivalent feature vector [B, F]."""
+    """Full NeuralTE-equivalent feature vector [B, F].
+
+    The TSD and domain blocks are ALWAYS part of the vector (fixed F for
+    one checkpoint across call sites, the reference's use_TSD-1 feature
+    contract): absent inputs encode as the all-"absent" one-hot rows —
+    exactly what a sequence with no TSD / no protein hit produces.
+    """
+    B = seqs.shape[0]
+    if tsd_onehot is None:
+        tsd_onehot = tsd_feature(jnp.full((B, 1), 4, jnp.int32),
+                                 jnp.zeros((B,), jnp.int32))
+    if domain_onehot is None:
+        domain_onehot = jax.nn.one_hot(
+            jnp.full((B,), 28, jnp.int32), 29, dtype=jnp.float32)
     parts = [
         kmer_frequencies(seqs, lens, internal_k),
-        terminal_kmer_features(seqs, lens, ks=terminal_ks),
+        terminal_kmer_features(seqs, lens, ks=terminal_ks,
+                               term_lens=term_lens),
+        tsd_onehot.astype(jnp.float32),
+        domain_onehot.astype(jnp.float32),
     ]
-    if tsd_onehot is not None:
-        parts.append(tsd_onehot.astype(jnp.float32))
-    if domain_onehot is not None:
-        parts.append(domain_onehot.astype(jnp.float32))
     return jnp.concatenate(parts, axis=1)
 
 

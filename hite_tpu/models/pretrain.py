@@ -41,18 +41,24 @@ def pretrain_superfamily(n_per_class: int = 60, epochs: int = 30,
     """Train the SuperfamilyCNN on a synthetic library; returns metrics."""
     import jax
 
-    from hite_tpu.models.synthetic import synthetic_library
+    from hite_tpu.models.synthetic import synthetic_training_set
     from hite_tpu.models.trainer import (
         evaluate, make_dataset, save_params, train_classifier,
     )
 
-    lib = synthetic_library(n_per_class=n_per_class, seed=seed)
-    X, y, _ = make_dataset(lib)
+    # full feature contract: located termini + TSD block + domain block
+    # (the reference's use_TSD-1 library-assembly mode); the domain labels
+    # are synthesis ground truth — internals of protein-backed classes ARE
+    # that superfamily's reverse-translated transposases, so a protein scan
+    # recovers the same label (shortcut for training throughput)
+    lib, tsds, domains = synthetic_training_set(n_per_class=n_per_class,
+                                                seed=seed)
+    X, y, _ = make_dataset(lib, tsds=tsds, domains=domains)
     model, params, hist = train_classifier(X, y, epochs=epochs, seed=seed)
 
-    eval_lib = synthetic_library(n_per_class=max(8, n_per_class // 5),
-                                 seed=seed + 1)
-    Xe, ye, _ = make_dataset(eval_lib)
+    ev = synthetic_training_set(n_per_class=max(8, n_per_class // 5),
+                                seed=seed + 1)
+    Xe, ye, _ = make_dataset(ev[0], tsds=ev[1], domains=ev[2])
     metrics = evaluate(model, params, Xe, ye)
     if out:
         save_params(out, jax.tree.map(

@@ -146,6 +146,34 @@ def _revcomp_str(seq: str) -> str:
     return "".join(comp.get(b, "N") for b in reversed(seq))
 
 
+# class-characteristic TSD generator: (fixed motif | (min_len, max_len) |
+# None).  The TSD block is genuinely class-identifying signal the
+# reference's use_TSD-1 NeuralTE model exploits
+# (`get_nonRedundant_lib.py:66-79`); sources: Wicker 2007 superfamily
+# table + the reference's TSD gates (`Util.py:7297-7334`, `:7801-7804`).
+TSD_GEOM: Dict[str, object] = {
+    "Tc1-Mariner": "TA", "hAT": (8, 8), "Mutator": (9, 11),
+    "Merlin": (8, 9), "Transib": (5, 5), "P": (7, 8),
+    "PiggyBac": "TTAA", "PIF-Harbinger": (3, 3), "CACTA": (2, 3),
+    "Maverick": (5, 6), "Crypton": None,
+    "Copia": (4, 6), "Gypsy": (4, 6), "Bel-Pao": (4, 6),
+    "Retrovirus": (4, 6), "DIRS": None, "Ngaro": None, "VIPER": None,
+    "Penelope": (10, 14), "R2": None, "RTE": (8, 14), "Jockey": (8, 14),
+    "L1": (8, 20), "I": (8, 14), "tRNA": (8, 16), "7SL": (8, 16),
+    "5S": (8, 16), "Helitron": None,
+}
+
+
+def synthesize_tsd(cls: str, rng: np.random.Generator) -> str:
+    geom = TSD_GEOM.get(cls)
+    if geom is None:
+        return ""
+    if isinstance(geom, str):
+        return geom
+    lo, hi = geom
+    return _rand_seq(rng, int(rng.integers(lo, hi + 1)))
+
+
 def synthesize_te(cls: str, rng: np.random.Generator,
                   pools: Dict[str, List[str]]) -> str:
     """One synthetic element of the given Wicker superfamily."""
@@ -181,14 +209,38 @@ def synthetic_library(n_per_class: int = 50, seed: int = 0,
                       classes: Optional[List[str]] = None,
                       ) -> Dict[str, np.ndarray]:
     """Labeled library {name#Wicker: codes} for `trainer.make_dataset`."""
+    lib, _tsds, _domains = synthetic_training_set(
+        n_per_class=n_per_class, seed=seed, classes=classes)
+    return lib
+
+
+def synthetic_training_set(
+    n_per_class: int = 50, seed: int = 0,
+    classes: Optional[List[str]] = None,
+) -> Tuple[Dict[str, np.ndarray], Dict[str, str], Dict[str, str]]:
+    """(library, {name: tsd string}, {name: Wicker domain label or ''}).
+
+    The TSD block is generated per superfamily (TSD_GEOM); the domain
+    label is the synthesis-time ground truth — the internals of the
+    protein-backed classes ARE reverse-translated transposases from that
+    superfamily's pool, so a protein scan would recover exactly this
+    label (shortcut documented in models/pretrain.py).
+    """
     rng = np.random.default_rng(seed)
     pools = load_protein_pools()
     lib: Dict[str, np.ndarray] = {}
+    tsds: Dict[str, str] = {}
+    domains: Dict[str, str] = {}
     for cls in classes or list(CLASS_SPECS):
+        prefix = CLASS_SPECS[cls][1]
+        has_pool = bool(prefix and _pool_for(pools, prefix))
         for i in range(n_per_class):
             seq = synthesize_te(cls, rng, pools)
-            lib[f"syn_{cls}_{i}#{cls}"] = encode_seq(seq)
-    return lib
+            name = f"syn_{cls}_{i}#{cls}"
+            lib[name] = encode_seq(seq)
+            tsds[name] = synthesize_tsd(cls, rng)
+            domains[name] = cls if has_pool else ""
+    return lib, tsds, domains
 
 
 # ---------------------------------------------------------------------------

@@ -53,11 +53,80 @@ def label_to_class(label: str) -> Optional[int]:
     return None
 
 
+def build_features(
+    seqs: Sequence[np.ndarray],
+    *,
+    tsd_seqs: Optional[Sequence[np.ndarray]] = None,
+    domain_classes: Optional[Sequence[Optional[int]]] = None,
+    locate: bool = True,
+    term_lens: Optional[np.ndarray] = None,   # [N] known terminal lengths
+    batch: int = 256,
+) -> np.ndarray:
+    """Assemble the full NeuralTE-equivalent feature matrix [N, F].
+
+    One shared assembly for training and every inference site: located
+    termini (ltrsearch/itrsearch-equivalent scan unless locate=False),
+    TSD one-hot block (`tsd_seqs`: per-row TSD codes or None), domain
+    one-hot block (`domain_classes`: Wicker class index or None = absent).
+    """
+    from hite_tpu.models.features import locate_termini, tsd_feature
+
+    n = len(seqs)
+    out: List[np.ndarray] = []
+    for b0 in range(0, n, batch):
+        sub = list(seqs[b0 : b0 + batch])
+        mat, lens = pad_seqs(sub)
+        mat_d, lens_d = jnp.asarray(mat), jnp.asarray(lens)
+        if term_lens is not None:
+            tl = np.zeros(mat.shape[0], np.int32)
+            tl[: len(sub)] = np.asarray(term_lens[b0 : b0 + batch], np.int32)
+            term = jnp.asarray(tl)
+        elif locate:
+            term = locate_termini(mat_d, lens_d)
+        else:
+            term = None
+
+        tsd_oh = None
+        if tsd_seqs is not None:
+            rows = [np.asarray(tsd_seqs[b0 + i])
+                    if tsd_seqs[b0 + i] is not None else np.zeros(0, np.uint8)
+                    for i in range(len(sub))]
+            tmat = np.full((mat.shape[0], 16), 4, np.int32)
+            tlens = np.zeros(mat.shape[0], np.int32)
+            for i, r in enumerate(rows):
+                tmat[i, : min(len(r), 16)] = r[:16]
+                tlens[i] = min(len(r), 16)
+            tsd_oh = tsd_feature(jnp.asarray(tmat), jnp.asarray(tlens))
+
+        dom_oh = None
+        if domain_classes is not None:
+            idx = np.full(mat.shape[0], 28, np.int32)
+            for i in range(len(sub)):
+                c = domain_classes[b0 + i]
+                if c is not None:
+                    idx[i] = c
+            dom_oh = jax.nn.one_hot(jnp.asarray(idx), 29, dtype=jnp.float32)
+
+        X = classifier_features(mat_d, lens_d, term_lens=term,
+                                tsd_onehot=tsd_oh, domain_onehot=dom_oh)
+        out.append(np.asarray(X)[: len(sub)])
+    return (np.concatenate(out) if out
+            else np.zeros((0, 1), np.float32))
+
+
 def make_dataset(
     lib: Dict[str, np.ndarray],
     max_len: int = 8192,
+    tsds: Optional[Dict[str, str]] = None,
+    domains: Optional[Dict[str, str]] = None,
 ) -> Tuple[np.ndarray, np.ndarray, List[str]]:
-    """Labeled library -> (features [N, F], labels [N], kept names)."""
+    """Labeled library -> (features [N, F], labels [N], kept names).
+
+    tsds: optional {name: TSD string} (the use_TSD-1 feature block);
+    domains: optional {name: Wicker class label} protein-domain evidence.
+    """
+    from hite_tpu.io.fasta import encode_seq
+
     seqs, labels, names = [], [], []
     for name, codes in lib.items():
         _, _, label = name.partition("#")
@@ -69,8 +138,14 @@ def make_dataset(
         names.append(name)
     if not seqs:
         return np.zeros((0, 1)), np.zeros(0, np.int32), []
-    mat, lens = pad_seqs(seqs)
-    X = np.asarray(classifier_features(jnp.asarray(mat), jnp.asarray(lens)))
+    tsd_seqs = None
+    if tsds is not None:
+        tsd_seqs = [encode_seq(tsds.get(n) or "") for n in names]
+    dom_cls = None
+    if domains is not None:
+        dom_cls = [label_to_class(domains[n]) if domains.get(n) else None
+                   for n in names]
+    X = build_features(seqs, tsd_seqs=tsd_seqs, domain_classes=dom_cls)
     return X, np.array(labels, np.int32), names
 
 

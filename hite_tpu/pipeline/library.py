@@ -184,7 +184,8 @@ def build_library(
             "superfamily_cnn.pkl")
         if model_path:
             libs["merged"] = refine_labels(libs["merged"], cfg,
-                                           model_path=model_path)
+                                           model_path=model_path,
+                                           genome=genome)
     # RepeatClassifier-style homology labelling against the curated lib
     # for anything still Unknown (TEClass_parallel.py semantics)
     if curated and libs.get("merged"):
@@ -193,18 +194,81 @@ def build_library(
     return libs
 
 
+def library_feature_evidence(
+    seqs: List[np.ndarray],
+    cfg: PipelineConfig,
+    genome: Optional[Genome] = None,
+):
+    """(tsd_seqs, domain_classes) evidence blocks for library entries.
+
+    TSD: each entry's best full-length genomic copy is located and its
+    flanks searched for a shared 2-11-mer (the reference's use_TSD-1 mode
+    feeds NeuralTE the genome for exactly this, get_nonRedundant_lib.py:
+    66-79).  Domain: the vendored transposase libraries scanned with the
+    protein SW kernel; the best hit's superfamily becomes the one-hot.
+    """
+    import os
+
+    from hite_tpu.models.trainer import label_to_class
+    from hite_tpu.pipeline.domain import DomainScanner
+
+    n = len(seqs)
+    tsd_seqs: List[Optional[np.ndarray]] = [None] * n
+    if genome is not None and n:
+        from hite_tpu.pipeline.copies import CopyFinder, GenomeIndex
+
+        finder = CopyFinder(GenomeIndex(genome, cfg.align))
+        copy_sets = finder.find_copies(seqs, min_coverage=0.9, max_copies=3)
+        for i, hits in enumerate(copy_sets):
+            for h in hits:
+                found = None
+                for sz in (11, 10, 9, 8, 6, 5, 4, 3, 2):
+                    lf = genome.extract(h.start - sz, h.start)
+                    rf = genome.extract(h.end, h.end + sz)
+                    if len(lf) != sz or len(rf) != sz or (lf >= 4).any():
+                        continue
+                    tol = 1 if sz >= 8 else 0
+                    if (lf != rf).sum() <= tol:
+                        found = lf
+                        break
+                if found is not None:
+                    tsd_seqs[i] = found
+                    break
+
+    domain_classes: List[Optional[int]] = [None] * n
+    data_dir = os.path.join(os.path.dirname(__file__), "..", "data",
+                            "protein")
+    for fn in ("TIRPeps.lib", "HelitronPeps.lib"):
+        path = os.path.join(data_dir, fn)
+        if not os.path.exists(path):
+            continue
+        scanner = DomainScanner.from_fasta(path)
+        hit_sets = scanner.scan(seqs)
+        for i, hits in enumerate(hit_sets):
+            if domain_classes[i] is not None or not hits:
+                continue
+            best = max(hits, key=lambda h: h.entry_cov)
+            label = best.entry.rpartition("#")[2]
+            domain_classes[i] = label_to_class(label)
+    return tsd_seqs, domain_classes
+
+
 def refine_labels(merged: Dict[str, np.ndarray],
                   cfg: PipelineConfig,
-                  model_path: Optional[str] = None) -> Dict[str, np.ndarray]:
-    """Relabel Unknown/generic entries with the trained SuperfamilyCNN."""
+                  model_path: Optional[str] = None,
+                  genome: Optional[Genome] = None) -> Dict[str, np.ndarray]:
+    """Relabel Unknown/generic entries with the trained SuperfamilyCNN.
+
+    Features follow the reference's library-assembly mode (use_TSD 1 with
+    the genome supplied, `get_nonRedundant_lib.py:71-76`): located
+    termini + genomic-copy TSD block + protein-domain block.
+    """
     import os
 
     import jax.numpy as jnp
 
     from hite_tpu.models.classifier import SuperfamilyCNN, predict_labels
-    from hite_tpu.models.features import classifier_features
-    from hite_tpu.models.trainer import load_params
-    from hite_tpu.pipeline.candidates import pad_rows, pad_seqs
+    from hite_tpu.models.trainer import build_features, load_params
 
     model_path = model_path or cfg.classify.model_path
     if not (model_path and os.path.exists(model_path)):
@@ -219,9 +283,10 @@ def refine_labels(merged: Dict[str, np.ndarray],
     if not target:
         return merged
     seqs = [merged[n][:8192] for n in target]
-    mat, lens = pad_seqs(seqs, n_rows=pad_rows(len(seqs)))
-    X = classifier_features(jnp.asarray(mat), jnp.asarray(lens))
-    logits = model.apply(params, X[: len(target)])
+    tsd_seqs, domain_classes = library_feature_evidence(seqs, cfg, genome)
+    X = build_features(seqs, tsd_seqs=tsd_seqs,
+                       domain_classes=domain_classes)
+    logits = model.apply(params, jnp.asarray(X))
     # the classifier refines the superfamily WITHIN the structurally
     # determined class — a module's structural verdict (TIR termini+TSD =
     # DNA transposon, tail+TSD = LINE) must not be overruled by a CNN

@@ -443,9 +443,7 @@ def classify_ltr_records(
     from hite_tpu.models import bundled_model_path
     from hite_tpu.models.classifier import (
         LTR_SUPERFAMILIES, SuperfamilyCNN, predict_labels)
-    from hite_tpu.models.features import classifier_features
-    from hite_tpu.models.trainer import load_params
-    from hite_tpu.pipeline.candidates import pad_rows, pad_seqs
+    from hite_tpu.models.trainer import build_features, load_params
 
     if not records:
         return records
@@ -457,9 +455,21 @@ def classify_ltr_records(
     params = load_params(model_path)
     model = SuperfamilyCNN()
     seqs = [genome.extract(r.start, r.end)[:8192] for r in records]
-    mat, lens = pad_seqs(seqs, n_rows=pad_rows(len(seqs)))
-    X = classifier_features(jnp.asarray(mat), jnp.asarray(lens))
-    logits = model.apply(params, X[: len(records)])
+    # exact located termini (the structural pipeline already pinned the
+    # LTR spans — no terminal re-scan needed) + the element's TSD block
+    # (NeuralTE's use_TSD features; the no-TSD reference mode simply
+    # lacked genome context, which we have here)
+    term_lens = np.array([r.lltr_end - r.lltr_start for r in records],
+                         np.int32)
+    tsd_seqs = []
+    for r in records:
+        if r.tsd_len > 0:
+            tsd = genome.extract(r.start - r.tsd_len, r.start)
+            tsd_seqs.append(tsd if len(tsd) == r.tsd_len else None)
+        else:
+            tsd_seqs.append(None)
+    X = build_features(seqs, tsd_seqs=tsd_seqs, term_lens=term_lens)
+    logits = model.apply(params, jnp.asarray(X))
     labels = predict_labels(logits, is_wicker=cfg.classify.is_wicker,
                             restrict=LTR_SUPERFAMILIES)
     for r, lab in zip(records, labels):

@@ -24,7 +24,7 @@ import numpy as np
 from hite_tpu.config import PipelineConfig
 from hite_tpu.genome import Genome
 from hite_tpu.io.fasta import write_fasta
-from hite_tpu.pipeline.boundary_adjust import FamilyAnalysis, adjust_candidate
+from hite_tpu.pipeline.boundary_adjust import adjust_candidate
 from hite_tpu.pipeline.coarse import CoarseParams
 from hite_tpu.pipeline.copies import CopyFinder, CopyHit, GenomeIndex
 from hite_tpu.pipeline.libcluster import cluster_seqs
@@ -42,11 +42,6 @@ class PanResult:
     pav_families: List[str] = field(default_factory=list)
     pav_genomes: List[str] = field(default_factory=list)
     rescued: int = 0
-
-
-def _homology_judge(fa: FamilyAnalysis) -> Tuple[bool, int, int]:
-    """Generic pan-rescue judge: clean homology boundaries on both sides."""
-    return (fa.left_found and fa.right_found), fa.left_pos, fa.right_pos
 
 
 def run_pan_pipeline(
@@ -108,13 +103,14 @@ def run_pan_pipeline(
         low_items: List[Tuple[str, int, int, np.ndarray]] = []
         for gname, res in per_genome.items():
             home = genomes[gname]
-            for mod in (res.tir, res.helitron, res.non_ltr):
+            for mod, mtype in ((res.tir, "tir"), (res.helitron, "helitron"),
+                               (res.non_ltr, "non_ltr")):
                 if mod is None:
                     continue
                 for (s, e) in mod.low_copy.intervals:
                     cand = home.extract(int(s), int(e))
                     if len(cand) >= cfg.library.min_te_len:
-                        low_items.append((gname, int(s), int(e), cand))
+                        low_items.append((gname, int(s), int(e), cand, mtype))
 
         if low_items:
             # per-genome batched mapping of every low-copy candidate; each
@@ -127,7 +123,20 @@ def run_pan_pipeline(
                     [it[3] for it in low_items], min_coverage=0.9,
                     max_copies=cfg.msa.max_copies)
             per_genome_hits = mh.merge_dicts(mh.allgather_obj(my_hits))
-            for li, (gname, s, e, cand) in enumerate(low_items):
+            # type-specific re-judging (the reference re-enters the full
+            # per-class MSA boundary judge, pan_recover_low_copy_TEs.py:
+            # 297-457 -> filter_true_TEs -> run_find_members_v8, instead
+            # of a generic both-sides-homology check)
+            from hite_tpu.pipeline.helitron import make_helitron_judge
+            from hite_tpu.pipeline.non_ltr import make_nonltr_judge
+            from hite_tpu.pipeline.tir import make_tir_judge
+
+            judges = {"tir": make_tir_judge(cfg.plant),
+                      "helitron": make_helitron_judge(),
+                      "non_ltr": make_nonltr_judge(cfg)}
+            class_label = {"tir": "DNA", "helitron": "RC/Helitron",
+                           "non_ltr": "Unknown"}
+            for li, (gname, s, e, cand, mtype) in enumerate(low_items):
                 total = sum(len(per_genome_hits[o][li]) for o in genomes)
                 if total < min_pan_copies:
                     continue
@@ -140,9 +149,9 @@ def run_pan_pipeline(
                                  ][: cfg.msa.max_copies]
                 result = adjust_candidate(
                     genomes[gname], (s, e), home_hits, cfg.msa,
-                    _homology_judge, min_copies=2)
+                    judges[mtype], min_copies=2)
                 if result.accepted:
-                    key = f"{gname}:rescued_{rescued}#Unknown"
+                    key = f"{gname}:rescued_{rescued}#{class_label[mtype]}"
                     pan_lib[key] = genomes[gname].extract(result.start,
                                                           result.end)
                     rescued += 1

@@ -75,10 +75,67 @@ def _mask_tandem_regions(genome: Genome, seg_len: int = 131_072,
     return total
 
 
+def _structural_rescue_tir_mask(genome: Genome, cfg: PipelineConfig,
+                                intervals: np.ndarray) -> np.ndarray:
+    """Bool mask of low-copy TIR candidates rescued by TERMINAL STRUCTURE.
+
+    Reference `flank_region_align_v5`'s structural branch
+    (`Util.py:8205-8213` -> `remove_no_tirs`): TRF-mask the candidate,
+    then keep it when it carries a short-TIR superfamily signature
+    (`get_short_tir_contigs`) or an itrsearch terminal inverted repeat.
+    """
+    import jax.numpy as jnp
+
+    from hite_tpu.ops.tandem import tandem_mask
+    from hite_tpu.ops.terminal import find_terminal_repeat
+    from hite_tpu.pipeline.candidates import pad_rows, pad_seqs
+    from hite_tpu.pipeline.tir import _short_tir_signature
+
+    n = len(intervals)
+    if n == 0:
+        return np.zeros(0, bool)
+    seqs = [genome.extract(int(s), int(e)) for s, e in intervals]
+    mat, lens = pad_seqs(seqs, n_rows=pad_rows(n))
+    tmask = np.asarray(tandem_mask(jnp.asarray(mat)))
+
+    # TRF -m equivalent: N-out tandem arrays before the structure scan
+    masked = []
+    for i, s in enumerate(seqs):
+        m = s.copy()
+        m[tmask[i, : len(s)]] = 4
+        masked.append(m)
+
+    mmat, mlens = pad_seqs(masked, n_rows=pad_rows(n))
+    tr = find_terminal_repeat(
+        jnp.asarray(mmat), jnp.asarray(mlens), inverted=True,
+        window=cfg.terminal.end_window,
+        min_identity=cfg.terminal.itr_identity,
+        min_len=cfg.terminal.itr_min_len)
+    rescued = np.asarray(tr.found)[:n].copy()
+
+    # short-TIR superfamily signatures, keyed by the TSD found in the
+    # candidate's genomic flanks (sizes as search_confident_tir_v4)
+    for i, (s, e) in enumerate(intervals):
+        if rescued[i]:
+            continue
+        for sz in (11, 10, 9, 8, 6, 5, 4, 3, 2):
+            lf = genome.extract(int(s) - sz, int(s))
+            rf = genome.extract(int(e), int(e) + sz)
+            if len(lf) != sz or len(rf) != sz or (lf >= 4).any():
+                continue
+            tol = 1 if sz >= 8 else 0
+            if (lf != rf).sum() <= tol and \
+                    _short_tir_signature(seqs[i], sz, cfg.plant):
+                rescued[i] = True
+                break
+    return rescued
+
+
 def _rescue_low_copy(genome: Genome, cfg: PipelineConfig, *, tir=None,
                      helitron=None, non_ltr=None) -> int:
-    """Domain-based low-copy rescue: move low-copy candidates carrying a
-    near-intact TE protein domain into the accepted set of their module."""
+    """Low-copy rescue: move low-copy candidates carrying TIR terminal
+    STRUCTURE (TIR module only) or a near-intact TE protein DOMAIN into
+    the accepted set of their module (`Util.py:8194-8290`)."""
     from hite_tpu.pipeline.domain import DomainScanner, rescue_by_domain
 
     # TIRPeps/HelitronPeps are vendored from the reference's library/ data
@@ -96,13 +153,20 @@ def _rescue_low_copy(genome: Genome, cfg: PipelineConfig, *, tir=None,
                      ("non_ltr", non_ltr)):
         if mod is None or len(mod.low_copy) == 0:
             continue
+        mask = np.zeros(len(mod.low_copy), bool)
+        # structural branch (TIR only): TRF-masked ITR / short-TIR signature
+        if key == "tir":
+            mask |= _structural_rescue_tir_mask(
+                genome, cfg, mod.low_copy.intervals)
+            if mask.any():
+                logger.info("tir: %d low-copy candidates carry TIR "
+                            "terminal structure", int(mask.sum()))
         path = lib_for[key]
-        if not os.path.exists(path):
-            continue
-        scanner = DomainScanner.from_fasta(path)
-        seqs = [genome.extract(int(s), int(e))
-                for s, e in mod.low_copy.intervals]
-        mask = rescue_by_domain(seqs, scanner)
+        if os.path.exists(path):
+            scanner = DomainScanner.from_fasta(path)
+            seqs = [genome.extract(int(s), int(e))
+                    for s, e in mod.low_copy.intervals]
+            mask |= rescue_by_domain(seqs, scanner)
         if not mask.any():
             continue
         kept = mod.low_copy.intervals[mask]
@@ -112,7 +176,7 @@ def _rescue_low_copy(genome: Genome, cfg: PipelineConfig, *, tir=None,
             mod.copy_counts.append(1)
         mod.low_copy = mod.low_copy.subset(~mask)
         rescued_total += int(mask.sum())
-        logger.info("%s: rescued %d low-copy candidates by protein domain",
+        logger.info("%s: rescued %d low-copy candidates (structure/domain)",
                     key, int(mask.sum()))
     return rescued_total
 
@@ -208,8 +272,9 @@ def run_pipeline(
     # stage 2b: low-copy structural/domain rescue — candidates with too few
     # copies survive when they carry a >=95%-intact TE protein domain
     # (reference flank_region_align_v5 rescue branch, Util.py:8215-8281)
-    _rescue_low_copy(genome, cfg,
-                     tir=tir, helitron=helitron, non_ltr=non_ltr)
+    with stage_timer("pipeline.low_copy_rescue"):
+        _rescue_low_copy(genome, cfg,
+                         tir=tir, helitron=helitron, non_ltr=non_ltr)
 
     # stage 3: LTR on the genome masked with everything found so far
     # (reference judge_LTR_transposons.py:111)

@@ -110,63 +110,98 @@ def verify_families(
     low_copy: List[Tuple[int, int]] = []
 
     with stage_timer(f"{stage}.boundary_adjust"):
-        # batched first-round analysis for every family's primary member
+        # Round-synchronous engine: every family's current interval is
+        # analyzed in ONE batched device call per round, and every
+        # changed interval's copy re-fetch rides ONE whole-genome join per
+        # round.  The previous per-family loop issued one single-candidate
+        # join per (family, round) — at 36 families x 3 rounds that was
+        # the dominant line of the 8 Mbp hardware stage map.
+        from hite_tpu.pipeline.boundary_adjust import analyze_families_batched
+
         ordered_members = {
             g: sorted(idxs, key=lambda i: (-len(copy_sets[i]),
                                            -(gated[i, 1] - gated[i, 0])))
             for g, idxs in members.items()
         }
-        primaries = [idxs[0] for idxs in ordered_members.values()
-                     if len(copy_sets[idxs[0]]) >= min_copies]
-        from hite_tpu.pipeline.boundary_adjust import analyze_families_batched
+        family_state: dict = {
+            g: dict(order=(idxs + alternates[g])[:3], ai=0, low=None,
+                    done=None)
+            for g, idxs in ordered_members.items()
+        }
+        pending: List[Tuple[int, Tuple[int, int], list, int]] = []
+        fetch_queue: List[Tuple[int, Tuple[int, int], int]] = []
 
-        batch_items = [((int(gated[i, 0]), int(gated[i, 1])), copy_sets[i])
-                       for i in primaries]
-        first_round = dict(zip(
-            primaries,
-            analyze_families_batched(genome, batch_items, cfg.msa)
-            if batch_items else []))
+        def on_copies(g: int, interval: Tuple[int, int], copies: list,
+                      rnd: int) -> None:
+            st = family_state[g]
+            if len(copies) < min_copies:
+                st["low"] = st["low"] or interval
+                st["ai"] += 1
+                begin_attempt(g)
+            else:
+                pending.append((g, interval, copies, rnd))
 
-        for g, idxs in ordered_members.items():
-            family_done = False
-            family_low: Optional[Tuple[int, int]] = None
-            attempt_order = (idxs + alternates[g])[:3]
-            for attempt, rep in enumerate(attempt_order):
-                interval = (int(gated[rep, 0]), int(gated[rep, 1]))
-                if rep not in copy_sets:   # lazy fetch for alternates
-                    copy_sets[rep] = finder.find_copies(
-                        [seqs[rep]], min_coverage=min_coverage,
-                        max_copies=cfg.msa.max_copies)[0]
-                copies = copy_sets[rep]
-                result: Optional[AdjustResult] = None
-                for _round in range(cfg.msa.boundary_rounds):
-                    pre = first_round.get(rep) if _round == 0 else None
-                    result = adjust_candidate(genome, interval, copies,
-                                              cfg.msa, judge, min_copies,
-                                              precomputed=pre)
-                    if not result.accepted:
-                        break
-                    new_interval = (result.start, result.end)
-                    if new_interval == interval:
-                        break
-                    interval = new_interval
-                    copies = finder.find_copies(
-                        [genome.extract(*interval)],
-                        min_coverage=min_coverage,
-                        max_copies=cfg.msa.max_copies)[0]
-                if result is None:
-                    continue
+        def begin_attempt(g: int) -> None:
+            st = family_state[g]
+            if st["done"] is not None or st["ai"] >= len(st["order"]):
+                return
+            rep = st["order"][st["ai"]]
+            interval = (int(gated[rep, 0]), int(gated[rep, 1]))
+            if rep in copy_sets:
+                on_copies(g, interval, copy_sets[rep], 0)
+            else:
+                fetch_queue.append((g, interval, 0))
+
+        for g in ordered_members:
+            begin_attempt(g)
+
+        while pending or fetch_queue:
+            if fetch_queue:
+                fq, fetch_queue = fetch_queue, []
+                fetched = finder.find_copies(
+                    [genome.extract(*it[1]) for it in fq],
+                    min_coverage=min_coverage,
+                    max_copies=cfg.msa.max_copies)
+                for (g, interval, rnd), copies in zip(fq, fetched):
+                    on_copies(g, interval, copies, rnd)
+            if not pending:
+                continue
+            batch, pending = pending, []
+            analyses = analyze_families_batched(
+                genome, [(it[1], it[2]) for it in batch], cfg.msa)
+            for (g, interval, copies, rnd), pre in zip(batch, analyses):
+                st = family_state[g]
+                result = adjust_candidate(genome, interval, copies, cfg.msa,
+                                          judge, min_copies, precomputed=pre)
                 if result.low_copy:
-                    family_low = family_low or interval
-                elif result.accepted and \
-                        result.end - result.start >= cfg.library.min_te_len:
-                    accepted.append((result.start, result.end))
-                    consensus.append(result.consensus)
-                    copy_counts.append(result.copy_count)
-                    family_done = True
-                    break
-            if not family_done and family_low is not None:
-                low_copy.append(family_low)
+                    st["low"] = st["low"] or interval
+                    st["ai"] += 1
+                    begin_attempt(g)
+                elif not result.accepted:
+                    st["ai"] += 1
+                    begin_attempt(g)
+                else:
+                    new_interval = (result.start, result.end)
+                    if (new_interval == interval
+                            or rnd + 1 >= cfg.msa.boundary_rounds):
+                        if result.end - result.start >= \
+                                cfg.library.min_te_len:
+                            st["done"] = result
+                        else:
+                            st["ai"] += 1
+                            begin_attempt(g)
+                    else:
+                        fetch_queue.append((g, new_interval, rnd + 1))
+
+        for g in ordered_members:
+            st = family_state[g]
+            result = st["done"]
+            if result is not None:
+                accepted.append((result.start, result.end))
+                consensus.append(result.consensus)
+                copy_counts.append(result.copy_count)
+            elif st["low"] is not None:
+                low_copy.append(st["low"])
 
     return ModuleResult(
         accepted=CandidateSet(np.array(accepted, np.int64).reshape(-1, 2)),

@@ -50,3 +50,39 @@ def test_rescue_low_copy_by_domain():
     assert len(mod.accepted) == 1
     assert len(mod.low_copy) == 1
     assert mod.low_copy.intervals[0, 0] == 12_000
+
+
+def test_structural_rescue_tir():
+    """Low-copy TIR candidates with terminal structure are rescued without
+    any protein domain (reference Util.py:8205-8213 TRF+itrsearch branch)."""
+    rng = np.random.default_rng(11)
+    bg = rng.integers(0, 4, 30_000).astype(np.uint8)
+
+    # candidate with clean 20bp inverted termini + 5bp TSD
+    t = rng.integers(0, 4, 20).astype(np.uint8)
+    te = np.concatenate([t, rng.integers(0, 4, 500).astype(np.uint8),
+                         (3 - t)[::-1]])
+    pos = 5_000
+    tsd = rng.integers(0, 4, 5).astype(np.uint8)
+    bg[pos - 5 : pos] = tsd
+    bg[pos + len(te) : pos + len(te) + 5] = tsd
+    bg[pos : pos + len(te)] = te
+
+    # mostly-tandem junk with fake termini: tandem masking must kill it
+    unit = rng.integers(0, 4, 6).astype(np.uint8)
+    bg[12_000:12_600] = np.tile(unit, 100)
+
+    genome = Genome.from_dict({"chr1": bg})
+    low = CandidateSet(intervals=np.array(
+        [[pos, pos + len(te)],
+         [12_000, 12_600],
+         [20_000, 20_600]]))                    # random: no structure
+    mod = ModuleResult(
+        accepted=CandidateSet(intervals=np.zeros((0, 2), np.int64)),
+        consensus=[], low_copy=low, copy_counts=[])
+
+    cfg = PipelineConfig()
+    n = _rescue_low_copy(genome, cfg, tir=mod)
+    assert n == 1
+    assert len(mod.accepted) == 1
+    assert mod.accepted.intervals[0, 0] == pos
