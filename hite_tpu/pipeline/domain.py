@@ -22,6 +22,7 @@ import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,6 +96,7 @@ class DomainScanner:
         self.flat = flat
         km = aa_kmer_codes(jnp.asarray(flat), k)
         self.index = build_index_from_kmers(km)
+        self._chain_fns: Dict[int, object] = {}
 
     @classmethod
     def from_fasta(cls, path: str, k: int = 4) -> "DomainScanner":
@@ -118,29 +120,43 @@ class DomainScanner:
         fr_np = np.asarray(frames)
 
         sub = jnp.asarray(BLOSUM62)
-        # seed+chain per frame (batched over candidates via host loop — the
-        # library index is shared; frames are cheap)
-        confirm_a: List[np.ndarray] = []
-        confirm_b: List[np.ndarray] = []
-        confirm_meta: List[Tuple] = []
-        starts_d = jnp.asarray(self.starts)
-        for f in range(6):
-            q_km = aa_kmer_codes(frames[:, f], self.k)   # [B, A]
-            for b in range(len(cand_seqs)):
-                h = pair_hsps(q_km[b], self.index, k=self.k, stride=1,
+        # seed+chain for ALL (candidate, frame) pairs in ONE vmapped device
+        # program — the earlier host loop issued 6*B separate dispatches,
+        # each paying a tunnel round trip (~1 s) on the axon stack
+        if min_aa_len not in self._chain_fns:
+            starts_d = jnp.asarray(self.starts)
+            index = self.index
+            k = self.k
+
+            def _one(qk):
+                h = pair_hsps(qk, index, k=k, stride=1,
                               max_hits=8, diag_band=16, run_gap=24,
                               min_seeds=2, min_hsp_len=8, max_hsps=128)
                 # group HSPs by the library entry they land in so chains
                 # never bridge two concatenated proteins
-                grp = jnp.searchsorted(starts_d, h.ss, side="right").astype(jnp.int32)
-                ch = chain_hsps(h, extend_threshold=60, max_chains=32,
-                                min_len=min_aa_len, group=grp)
-                qs = np.asarray(ch.qs)
-                qe = np.asarray(ch.qe)
-                ss = np.asarray(ch.ss)
-                se = np.asarray(ch.se)
-                valid = np.asarray(ch.valid)
-                for i in np.nonzero(valid)[0][:max_hits_per_cand]:
+                grp = jnp.searchsorted(starts_d, h.ss,
+                                       side="right").astype(jnp.int32)
+                return chain_hsps(h, extend_threshold=60, max_chains=32,
+                                  min_len=min_aa_len, group=grp)
+
+            self._chain_fns[min_aa_len] = jax.jit(jax.vmap(_one))
+        q_km = aa_kmer_codes(frames.reshape(B * 6, Laa), self.k)  # [B*6, A]
+        ch = self._chain_fns[min_aa_len](q_km)
+        qs_all = np.asarray(ch.qs)
+        qe_all = np.asarray(ch.qe)
+        ss_all = np.asarray(ch.ss)
+        se_all = np.asarray(ch.se)
+        valid_all = np.asarray(ch.valid)
+
+        confirm_a: List[np.ndarray] = []
+        confirm_b: List[np.ndarray] = []
+        confirm_meta: List[Tuple] = []
+        for b in range(len(cand_seqs)):
+            for f in range(6):
+                row = b * 6 + f
+                qs, qe = qs_all[row], qe_all[row]
+                ss, se = ss_all[row], se_all[row]
+                for i in np.nonzero(valid_all[row])[0][:max_hits_per_cand]:
                     e_idx = int(np.searchsorted(self.starts, ss[i],
                                                 side="right") - 1)
                     e_idx = max(0, min(e_idx, len(self.names) - 1))

@@ -106,11 +106,15 @@ def _structural_rescue_tir_mask(genome: Genome, cfg: PipelineConfig,
         masked.append(m)
 
     mmat, mlens = pad_seqs(masked, n_rows=pad_rows(n))
+    # min_len 10 (not itrsearch's 7): a chance >=7bp 70%-identity inverted
+    # match arises too often in 40bp end windows of random low-copy
+    # sequence; genuinely short TIRs (hAT 5-27bp etc.) are rescued by the
+    # TSD-keyed short-TIR signature branch below instead
     tr = find_terminal_repeat(
         jnp.asarray(mmat), jnp.asarray(mlens), inverted=True,
         window=cfg.terminal.end_window,
         min_identity=cfg.terminal.itr_identity,
-        min_len=cfg.terminal.itr_min_len)
+        min_len=max(10, cfg.terminal.itr_min_len))
     rescued = np.asarray(tr.found)[:n].copy()
 
     # short-TIR superfamily signatures, keyed by the TSD found in the
