@@ -30,26 +30,38 @@ BASELINE_E2E_MBP_S = 0.01  # estimated reference end-to-end throughput (above)
 GENOME_BP = 8_000_000
 
 
-def build_bench_genome(length: int = GENOME_BP):
+def build_bench_genome(length: int = GENOME_BP, scale: int = 1):
     """8 Mbp genome with planted families of all four TE classes.
 
     Mirrors the acceptance-test substrate (tests/test_pipeline.py) at
     production scale: TIR (TSD+ITR), Helitron (LCV head + CTAGT tail,
     A|T host site), SINE (polyA tail + TSD) and intact LTR elements.
+    `scale` multiplies both family counts and copy counts (used by
+    scripts/scale_run.py to keep TE density constant at >=100 Mbp).
     """
     from hite_tpu.genome import Genome
     from hite_tpu.io.fasta import encode_seq
 
     rng = np.random.default_rng(7)
     bg = rng.integers(0, 4, length).astype(np.uint8)
+    # interval-tree-free overlap check: bucket placements by 64 Kb bin so
+    # planting stays O(n) at 100 Mbp scale
+    bins = {}
+
+    def overlaps(pos, end):
+        for b in range(pos // 65536 - 1, end // 65536 + 2):
+            for s, e in bins.get(b, ()):
+                if pos < e + 200 and end + 200 > s:
+                    return True
+        return False
+
     placed = []
 
     def plant(te, n, tsd=0, host_at=False, mut=0.02):
         starts = []
         while len(starts) < n:
             pos = int(rng.integers(1000, length - len(te) - 1000))
-            if any(pos < e + 200 and pos + len(te) + 200 > s
-                   for s, e in placed):
+            if overlaps(pos, pos + len(te)):
                 continue
             copy = te.copy()
             muts = rng.random(len(copy)) < mut
@@ -63,11 +75,14 @@ def build_bench_genome(length: int = GENOME_BP):
                 bg[pos + len(copy)] = 3
             bg[pos: pos + len(copy)] = copy
             placed.append((pos, pos + len(copy)))
+            for b in range(pos // 65536, (pos + len(copy)) // 65536 + 1):
+                bins.setdefault(b, []).append((pos, pos + len(copy)))
             starts.append(pos)
         return starts
 
-    # three TIR families (20 bp inverted termini, 5 bp TSD)
-    for n, interior in ((20, 460), (15, 900), (10, 1400)):
+    # TIR families (20 bp inverted termini, 5 bp TSD)
+    for f in range(3 * scale):
+        n, interior = ((20, 460), (15, 900), (10, 1400))[f % 3]
         t = rng.integers(0, 4, 20).astype(np.uint8)
         while t[0] == 3 and t[1] == 2:
             t = rng.integers(0, 4, 20).astype(np.uint8)
@@ -75,22 +90,25 @@ def build_bench_genome(length: int = GENOME_BP):
                              (3 - t)[::-1]])
         plant(te, n, tsd=5)
 
-    # two Helitron families (LCV head + CTAGT tail, A|T host site)
-    for n, interior in ((8, 700), (8, 1200)):
+    # Helitron families (LCV head + CTAGT tail, A|T host site)
+    for f in range(2 * scale):
+        n, interior = ((8, 700), (8, 1200))[f % 2]
         te = np.concatenate([
             encode_seq("TCTCTACTA"),
             rng.integers(0, 4, interior).astype(np.uint8),
             encode_seq("CAATGAACG" + "ACGTACGTA" + "CTAGT")])
         plant(te, n, host_at=True)
 
-    # two SINE families (polyA tail + 12 bp TSD)
-    for n, interior in ((20, 280), (20, 420)):
+    # SINE families (polyA tail + 12 bp TSD)
+    for f in range(2 * scale):
+        n, interior = ((20, 280), (20, 420))[f % 2]
         te = np.concatenate([rng.integers(0, 4, interior).astype(np.uint8),
                              np.zeros(14, np.uint8)])
         plant(te, n, tsd=12)
 
-    # four LTR families (TG..CA LTRs, 2.2 kb interior, 5 bp TSD)
-    for n, ltr_len in ((4, 250), (4, 350), (4, 450), (4, 600)):
+    # LTR families (TG..CA LTRs, 2.2 kb interior, 5 bp TSD)
+    for f in range(4 * scale):
+        n, ltr_len = ((4, 250), (4, 350), (4, 450), (4, 600))[f % 4]
         t = rng.integers(0, 4, ltr_len).astype(np.uint8)
         t[0], t[1], t[-2], t[-1] = 3, 2, 1, 0
         te = np.concatenate([t, rng.integers(0, 4, 2200).astype(np.uint8), t])

@@ -125,6 +125,11 @@ def evaluate_library(
             F1=(2 * tp_t / (2 * tp_t + fp_t + fn_t)
                 if (2 * tp_t + fp_t + fn_t) else 0.0))
     metrics["at_coverage"] = at_cov
+    # surfaced in benchmark.json (not just the docstring): base-level bp
+    # accounting, NOT the reference's 100 kb-segment binning
+    # (module/lib_evaluation.py:37-53) — numbers are exact rather than
+    # segment-quantized and are not directly comparable to the paper's.
+    metrics["protocol"] = "base_level_bp (reference bins into 100kb segments)"
     logger.info("BM_HiTE: %s", metrics)
     return metrics
 

@@ -119,4 +119,10 @@ class Checkpointer:
         if not self.dir or not os.path.isdir(self.dir):
             return
         for f in os.listdir(self.dir):
-            os.unlink(os.path.join(self.dir, f))
+            try:
+                os.unlink(os.path.join(self.dir, f))
+            except FileNotFoundError:
+                # another Checkpointer's in-flight tmp->rename can remove
+                # a listed file between listdir and unlink; wait() only
+                # drains THIS instance's writes
+                pass

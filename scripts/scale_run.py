@@ -1,0 +1,85 @@
+"""Production-scale validation: run the FULL pipeline on a >=100 Mbp genome.
+
+VERDICT round-1 item 5: the reference's unit of work is a 400 MB chunk
+(`/root/reference/module/split_genome_chunks.py:44-66`); round 1 never ran
+anything past 16 Mbp.  This script builds a 100 Mbp synthetic genome with
+the same four planted TE classes as bench.py (density held constant via
+`scale`), runs the complete pipeline (tandem -> coarse -> TIR/Helitron/
+non-LTR -> LTR + deep filter -> library -> annotation) on the real chip,
+and prints the stage map.  Exercises the 64 Mbp selfjoin/libjoin HBM
+chunking paths that were previously only extrapolated.
+
+Run alone (the axon tunnel serializes TPU clients):
+    python scripts/scale_run.py [--mbp 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import resource
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mbp", type=int, default=100)
+    ap.add_argument("--out", default="/tmp/hite_scale_out")
+    ap.add_argument("--build-only", action="store_true",
+                    help="build the genome and exit (host-side smoke test)")
+    args = ap.parse_args()
+
+    # build first, import jax after: --build-only must never open the
+    # axon tunnel (a second TPU client starves a running one, CLAUDE.md)
+    from bench import build_bench_genome
+
+    length = args.mbp * 1_000_000
+    scale = max(1, args.mbp // 8)
+    t_build = time.perf_counter()
+    genome, n_planted = build_bench_genome(length, scale=scale)
+    print(f"built {args.mbp} Mbp genome, {n_planted} planted copies "
+          f"({time.perf_counter() - t_build:.1f}s)", flush=True)
+    if args.build_only:
+        return
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from hite_tpu.config import AlignConfig, PipelineConfig
+    from hite_tpu.pipeline.coarse import CoarseParams
+    from hite_tpu.pipeline.run import run_pipeline
+    from hite_tpu.utils.log import STAGE_TIMES
+
+    cfg = PipelineConfig(annotate=True,
+                         align=AlignConfig(fixed_extend_base_threshold=2000))
+    params = CoarseParams(seg_len=262_144, pair_batch=64, stride=4,
+                          max_hits=4)
+
+    t0 = time.perf_counter()
+    result = run_pipeline(genome, cfg, out_dir=args.out,
+                          coarse_params=params)
+    dt = time.perf_counter() - t0
+
+    stages = {k: round(v, 2) for k, v in sorted(
+        STAGE_TIMES.items(), key=lambda kv: -kv[1]) if v >= 1.0}
+    peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+    print(json.dumps({
+        "metric": "scale_run",
+        "genome_mbp": args.mbp,
+        "wall_s": round(dt, 1),
+        "mbp_per_s": round(length / 1e6 / dt, 4),
+        "planted_copies": n_planted,
+        "library_entries": len(result.libs.get("merged", {})),
+        "annotation_hits": result.metrics.get("annotation_hits"),
+        "peak_rss_gb": round(peak_rss_gb, 2),
+        "stages": stages,
+    }))
+
+
+if __name__ == "__main__":
+    main()
