@@ -136,7 +136,9 @@ def pretrain_ltr_filter(n: int = 400, epochs: int = 8, seed: int = 0,
 
     ef, el = synthetic_frames(n=max(40, n // 5), seed=seed + 1)
     ei, ek = _frame_inputs(ef)
-    logits = model.apply(params, jnp.asarray(ei), jnp.asarray(ek))
+    from hite_tpu.models.trainer import jit_apply
+
+    logits = jit_apply(model, params, jnp.asarray(ei), jnp.asarray(ek))
     pred = np.asarray(jnp.argmax(logits, axis=-1))
     acc = float((pred == el).mean())
     if out:

@@ -53,6 +53,28 @@ def label_to_class(label: str) -> Optional[int]:
     return None
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("term_mode",))
+def _features_program(mat, lens, term, tmat, tlens, dom_idx, *,
+                      term_mode: str):
+    """ONE fused device program per (shape, term_mode) — the eager
+    per-op path paid a ~1s tunnel round trip for every jnp call
+    (~30+ per batch; refine_labels + ltr.classify were 160 s of the
+    8 Mbp warm stage map before this)."""
+    from hite_tpu.models.features import locate_termini, tsd_feature
+
+    if term_mode == "locate":
+        term = locate_termini(mat, lens)
+    elif term_mode == "fixed":
+        term = None
+    return classifier_features(
+        mat, lens, term_lens=term,
+        tsd_onehot=tsd_feature(tmat, tlens),
+        domain_onehot=jax.nn.one_hot(dom_idx, 29, dtype=jnp.float32))
+
+
 def build_features(
     seqs: Sequence[np.ndarray],
     *,
@@ -69,46 +91,46 @@ def build_features(
     TSD one-hot block (`tsd_seqs`: per-row TSD codes or None), domain
     one-hot block (`domain_classes`: Wicker class index or None = absent).
     """
-    from hite_tpu.models.features import locate_termini, tsd_feature
+    from hite_tpu.pipeline.candidates import pad_rows
 
     n = len(seqs)
     out: List[np.ndarray] = []
     for b0 in range(0, n, batch):
         sub = list(seqs[b0 : b0 + batch])
-        mat, lens = pad_seqs(sub)
-        mat_d, lens_d = jnp.asarray(mat), jnp.asarray(lens)
-        if term_lens is not None:
-            tl = np.zeros(mat.shape[0], np.int32)
-            tl[: len(sub)] = np.asarray(term_lens[b0 : b0 + batch], np.int32)
-            term = jnp.asarray(tl)
-        elif locate:
-            term = locate_termini(mat_d, lens_d)
-        else:
-            term = None
+        # rows padded to pow2: bounds jit variants across call sites
+        mat, lens = pad_seqs(sub, n_rows=pad_rows(len(sub), min_rows=8))
+        B = mat.shape[0]
 
-        tsd_oh = None
+        if term_lens is not None:
+            tl = np.zeros(B, np.int32)
+            tl[: len(sub)] = np.asarray(term_lens[b0 : b0 + batch], np.int32)
+            mode = "given"
+        else:
+            tl = np.zeros(B, np.int32)
+            mode = "locate" if locate else "fixed"
+
+        tmat = np.full((B, 16), 4, np.int32)
+        tlens = np.zeros(B, np.int32)
         if tsd_seqs is not None:
-            rows = [np.asarray(tsd_seqs[b0 + i])
-                    if tsd_seqs[b0 + i] is not None else np.zeros(0, np.uint8)
-                    for i in range(len(sub))]
-            tmat = np.full((mat.shape[0], 16), 4, np.int32)
-            tlens = np.zeros(mat.shape[0], np.int32)
-            for i, r in enumerate(rows):
+            for i in range(len(sub)):
+                r = tsd_seqs[b0 + i]
+                if r is None:
+                    continue
+                r = np.asarray(r)
                 tmat[i, : min(len(r), 16)] = r[:16]
                 tlens[i] = min(len(r), 16)
-            tsd_oh = tsd_feature(jnp.asarray(tmat), jnp.asarray(tlens))
 
-        dom_oh = None
+        dom_idx = np.full(B, 28, np.int32)
         if domain_classes is not None:
-            idx = np.full(mat.shape[0], 28, np.int32)
             for i in range(len(sub)):
                 c = domain_classes[b0 + i]
                 if c is not None:
-                    idx[i] = c
-            dom_oh = jax.nn.one_hot(jnp.asarray(idx), 29, dtype=jnp.float32)
+                    dom_idx[i] = c
 
-        X = classifier_features(mat_d, lens_d, term_lens=term,
-                                tsd_onehot=tsd_oh, domain_onehot=dom_oh)
+        X = _features_program(
+            jnp.asarray(mat), jnp.asarray(lens), jnp.asarray(tl),
+            jnp.asarray(tmat), jnp.asarray(tlens), jnp.asarray(dom_idx),
+            term_mode=mode)
         out.append(np.asarray(X)[: len(sub)])
     return (np.concatenate(out) if out
             else np.zeros((0, 1), np.float32))
@@ -198,9 +220,39 @@ def train_classifier(
     return model, params, history
 
 
+_APPLY_CACHE: Dict[str, object] = {}
+
+
+def jit_apply(model, params, *inputs):
+    """Cached jitted inference apply — an eager flax `model.apply` walks
+    the net one jnp op at a time, and each op is a separate tunnel
+    dispatch (~1s each on the remote TPU).  Cached per model class, so
+    every inference call site shares one compiled program per shape."""
+    key = type(model).__name__
+    fn = _APPLY_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda p, *xs: model.apply(p, *xs))
+        _APPLY_CACHE[key] = fn
+    return fn(params, *inputs)
+
+
+def predict_logits(model, params, X: np.ndarray) -> np.ndarray:
+    """Batch-padded jitted inference: rows pad to pow2 so arbitrary
+    call-site batch sizes reuse a handful of compiled programs."""
+    from hite_tpu.pipeline.candidates import pad_rows
+
+    n = len(X)
+    if n == 0:
+        return np.zeros((0, len(WICKER_CLASSES)), np.float32)
+    Bp = pad_rows(n, min_rows=8)
+    Xp = np.zeros((Bp,) + X.shape[1:], X.dtype)
+    Xp[:n] = X
+    return np.asarray(jit_apply(model, params, jnp.asarray(Xp)))[:n]
+
+
 def evaluate(model, params, X: np.ndarray, y: np.ndarray) -> Dict[str, float]:
     """Accuracy + macro precision/recall/F1 (evaluate_util.get_metrics)."""
-    logits = model.apply(params, jnp.asarray(X), train=False)
+    logits = predict_logits(model, params, np.asarray(X))
     pred = np.asarray(jnp.argmax(logits, axis=-1))
     acc = float((pred == y).mean()) if len(y) else 0.0
     precs, recs, f1s = [], [], []

@@ -394,7 +394,11 @@ class CopyFinder:
         starvation.  Distinct candidates all ride wave 0, keeping the
         common case a single join.
         """
-        groups = _similarity_groups(cand_seqs)
+        # group by EXACT join-k-mer sharing: only candidates that compete
+        # for the same k-mer codes can starve each other's fill slots —
+        # composition-similar but seed-disjoint candidates ride one wave
+        groups = _kmer_sketch_groups(cand_seqs, k=self.index.cfg.kmer_size,
+                                     thresh=0.15)
         chunk = max(1, self._join_fill_w // 2)
         waves: dict = {}
         seen: dict = {}
@@ -568,33 +572,48 @@ class CopyFinder:
         return _dedup_cap(out, max_copies)
 
 
-def _similarity_groups(seqs: Sequence[np.ndarray],
-                       thresh: float = 0.35) -> List[int]:
-    """Group candidates by CENTERED 4-mer-profile cosine (host, cheap).
+_MINHASH_SALTS = np.arange(1, 65, dtype=np.uint64) * np.uint64(
+    0x9E3779B97F4A7C15)
 
-    Single-linkage components over pairs with centered cosine >= thresh;
-    used to bound how many k-mer-sharing candidates enter one join batch.
-    Centering matters: RAW 4-mer profiles of any two long DNA sequences
-    are both near-uniform, so their raw cosine is ~0.7 regardless of
-    homology — centered (Pearson) cosine is ~0 for unrelated sequences,
-    ~0.8 for family variants, ~0.4 for half-overlapping reads.
+
+def _kmer_sketch_groups(seqs: Sequence[np.ndarray], k: int,
+                        thresh: float = 0.15,
+                        sketch: int = 64) -> List[int]:
+    """Group candidates by EXACT k-mer sharing (min-hash Jaccard estimate).
+
+    The 4-mer-profile centered cosine this replaces measured composition,
+    not shared seeds: on real TE libraries it single-linkage-chained
+    dozens of DISTINCT families whose base composition correlates (73/78
+    of the vendored test.ref at thresh 0.35).  Join-wave formation and
+    family rep selection both care about candidates sharing exact
+    k-mers — two candidates with zero common k-mers can neither starve
+    each other in the join's fill slots nor be copies of one family.
+    Min-hash: per candidate, the min of (code ^ salt) * mult over its
+    k-mer set for `sketch` salts; slot-equality fraction estimates
+    Jaccard.  Single-linkage components over pairs >= thresh.
     """
     n = len(seqs)
     if n <= 1:
         return [0] * n
-    prof = np.zeros((n, 256), np.float32)
+    salts = _MINHASH_SALTS[:sketch]
+    sk = np.full((n, sketch), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
     for i, s in enumerate(seqs):
-        if len(s) < 4:
+        v = np.asarray(s, np.int64)
+        if len(v) < k:
             continue
-        v = np.asarray(s, dtype=np.int32)
-        ok = (v[:-3] < 4) & (v[1:-2] < 4) & (v[2:-1] < 4) & (v[3:] < 4)
-        codes = ((v[:-3] * 4 + v[1:-2]) * 4 + v[2:-1]) * 4 + v[3:]
-        if ok.any():
-            prof[i] = np.bincount(codes[ok], minlength=256)
-    prof -= prof.mean(axis=1, keepdims=True)
-    unit = prof / np.maximum(np.linalg.norm(prof, axis=1, keepdims=True),
-                             1e-9)
-    sim = unit @ unit.T
+        m = len(v) - k + 1
+        ok = np.ones(m, bool)
+        code = np.zeros(m, np.int64)
+        for j in range(k):          # k <= 16 rolling windows, vectorized
+            w = v[j : m + j]
+            ok &= w < 4
+            code = code * 4 + np.where(w < 4, w, 0)
+        codes = np.unique(code[ok])
+        if not len(codes):
+            continue
+        h = (codes.astype(np.uint64)[:, None] ^ salts[None, :]) \
+            * np.uint64(0xC2B2AE3D27D4EB4F)
+        sk[i] = h.min(axis=0)
     parent = np.arange(n)
 
     def find(x: int) -> int:
@@ -603,12 +622,16 @@ def _similarity_groups(seqs: Sequence[np.ndarray],
             x = int(parent[x])
         return x
 
-    ii, jj = np.nonzero(sim >= thresh)
-    for a, b in zip(ii, jj):
-        if a < b:
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                parent[ra] = rb
+    # blockwise pairwise slot-agreement to bound the [n, n, sketch] temp
+    B = max(1, (1 << 24) // (n * sketch + 1))
+    for a0 in range(0, n, B):
+        agree = (sk[a0 : a0 + B, None, :] == sk[None, :, :]).mean(axis=2)
+        ii, jj = np.nonzero(agree >= thresh)
+        for a, b in zip(ii + a0, jj):
+            if a < b:
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[ra] = rb
     return [find(i) for i in range(n)]
 
 

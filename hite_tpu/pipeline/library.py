@@ -183,13 +183,16 @@ def build_library(
         model_path = cfg.classify.model_path or bundled_model_path(
             "superfamily_cnn.pkl")
         if model_path:
-            libs["merged"] = refine_labels(libs["merged"], cfg,
-                                           model_path=model_path,
-                                           genome=genome)
+            with stage_timer("library.refine_labels"):
+                libs["merged"] = refine_labels(libs["merged"], cfg,
+                                               model_path=model_path,
+                                               genome=genome)
     # RepeatClassifier-style homology labelling against the curated lib
     # for anything still Unknown (TEClass_parallel.py semantics)
     if curated and libs.get("merged"):
-        libs["merged"] = classify_by_homology(libs["merged"], curated, cfg)
+        with stage_timer("library.homology_labels"):
+            libs["merged"] = classify_by_homology(libs["merged"], curated,
+                                                  cfg)
     logger.info("library: %d merged entries", len(libs.get("merged", {})))
     return libs
 
@@ -268,7 +271,9 @@ def refine_labels(merged: Dict[str, np.ndarray],
     import jax.numpy as jnp
 
     from hite_tpu.models.classifier import SuperfamilyCNN, predict_labels
-    from hite_tpu.models.trainer import build_features, load_params
+    from hite_tpu.models.trainer import (
+        build_features, load_params, predict_logits,
+    )
 
     model_path = model_path or cfg.classify.model_path
     if not (model_path and os.path.exists(model_path)):
@@ -286,7 +291,7 @@ def refine_labels(merged: Dict[str, np.ndarray],
     tsd_seqs, domain_classes = library_feature_evidence(seqs, cfg, genome)
     X = build_features(seqs, tsd_seqs=tsd_seqs,
                        domain_classes=domain_classes)
-    logits = model.apply(params, jnp.asarray(X))
+    logits = predict_logits(model, params, X)
     # the classifier refines the superfamily WITHIN the structurally
     # determined class — a module's structural verdict (TIR termini+TSD =
     # DNA transposon, tail+TSD = LINE) must not be overruled by a CNN

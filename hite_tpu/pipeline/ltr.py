@@ -443,7 +443,9 @@ def classify_ltr_records(
     from hite_tpu.models import bundled_model_path
     from hite_tpu.models.classifier import (
         LTR_SUPERFAMILIES, SuperfamilyCNN, predict_labels)
-    from hite_tpu.models.trainer import build_features, load_params
+    from hite_tpu.models.trainer import (
+        build_features, load_params, predict_logits,
+    )
 
     if not records:
         return records
@@ -469,7 +471,7 @@ def classify_ltr_records(
         else:
             tsd_seqs.append(None)
     X = build_features(seqs, tsd_seqs=tsd_seqs, term_lens=term_lens)
-    logits = model.apply(params, jnp.asarray(X))
+    logits = predict_logits(model, params, X)
     labels = predict_labels(logits, is_wicker=cfg.classify.is_wicker,
                             restrict=LTR_SUPERFAMILIES)
     for r, lab in zip(records, labels):

@@ -370,10 +370,20 @@ def deep_filter_records(
                         kept_copies.append(len(copy_sets[i]))
 
         if cnn_batch:   # one CNN apply for every high-copy rule-True record
+            from hite_tpu.models.trainer import jit_apply
+
             imgs, kms = zip(*[cnn_inputs(M) for _i, M in cnn_batch])
-            logits = model.apply(cnn_params, jnp.asarray(np.stack(imgs)),
-                                 jnp.asarray(np.stack(kms)))
-            probs = np.asarray(jax.nn.softmax(logits))[:, 1]
+            n_cnn = len(imgs)
+            Bp = pad_rows(n_cnn, min_rows=8)
+            imat = np.zeros((Bp,) + imgs[0].shape, np.float32)
+            kmat = np.zeros((Bp,) + kms[0].shape, np.float32)
+            imat[:n_cnn] = np.stack(imgs)
+            kmat[:n_cnn] = np.stack(kms)
+            logits = np.asarray(jit_apply(
+                model, cnn_params, jnp.asarray(imat),
+                jnp.asarray(kmat)))[:n_cnn]
+            e = np.exp(logits - logits.max(axis=1, keepdims=True))
+            probs = (e / e.sum(axis=1, keepdims=True))[:, 1]
             for (i, _M), p in zip(cnn_batch, probs):
                 if p >= cfg.ltr.deep_threshold:
                     rec = records[i]

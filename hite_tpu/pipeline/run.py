@@ -254,7 +254,8 @@ def run_pipeline(
                           lambda: coarse_discover(genome, cfg.align, params,
                                                   mesh=mesh))
 
-    gindex = GenomeIndex(genome, cfg.align, seg_len=params.seg_len)
+    with stage_timer("pipeline.gindex"):
+        gindex = GenomeIndex(genome, cfg.align, seg_len=params.seg_len)
 
     tir = helitron = non_ltr = None
     found_intervals = []
@@ -296,7 +297,8 @@ def run_pipeline(
 
             def _classified(res):
                 if cfg.classify.use_neural and res.records:
-                    classify_ltr_records(genome, res.records, cfg)
+                    with stage_timer("ltr.classify"):
+                        classify_ltr_records(genome, res.records, cfg)
                 return res
 
             res = run_ltr_detection(genome, cfg, gindex,
@@ -340,7 +342,8 @@ def run_pipeline(
                        non_ltr=non_ltr, ltr=ltr)
 
     if out_dir:
-        write_outputs(out_dir, genome, cfg, result)
+        with stage_timer("pipeline.write_outputs"):
+            write_outputs(out_dir, genome, cfg, result)
 
     # stage 5: annotation (an empty library still writes the empty
     # gff/out/tbl set, like RepeatMasker)
