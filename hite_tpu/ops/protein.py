@@ -83,12 +83,14 @@ def decode_protein(codes: np.ndarray) -> str:
     return "".join(alpha[min(int(c), AA_X)] for c in codes)
 
 
+@jax.jit
 def translate_frames(seqs: jnp.ndarray) -> jnp.ndarray:
     """[B, L] nucleotide codes -> [B, 6, L//3] amino-acid codes.
 
     Frames 0-2: forward with offset; frames 3-5: reverse complement with
     offset.  Codons containing N translate to X (code 20); stop codons are
     X too (domain hits simply break across them, like blastx HSPs do).
+    Jitted: eagerly this is ~60 separate tunnel dispatches per scan call.
     """
     from hite_tpu.ops.encode import revcomp
 

@@ -41,8 +41,16 @@ def _tail_window(seqs: jnp.ndarray, lens: jnp.ndarray, window: int):
     ).astype(seqs.dtype)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
 def tail_scan(seqs: jnp.ndarray, lens: jnp.ndarray, window: int = 30) -> TailCall:
-    """Scan the last `window` bp of padded [B, L] candidates."""
+    """Scan the last `window` bp of padded [B, L] candidates.
+
+    Jitted (one program): the eager form was ~30 separate tunnel
+    dispatches — the whole 29 s of non_ltr.tail_gate in the 8 Mbp warm
+    stage map."""
     w = _tail_window(seqs, lens, window)
     a_len, a_end = _longest_run(w == 0)
     t_len, _ = _longest_run(w == 3)

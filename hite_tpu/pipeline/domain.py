@@ -128,8 +128,9 @@ class DomainScanner:
             index = self.index
             k = self.k
 
-            def _one(qk):
-                h = pair_hsps(qk, index, k=k, stride=1,
+            def _one(fr_row):
+                qk = aa_kmer_codes(fr_row, k)   # fused into the jit: eager
+                h = pair_hsps(qk, index, k=k, stride=1,   # form was ~8 dispatches
                               max_hits=8, diag_band=16, run_gap=24,
                               min_seeds=2, min_hsp_len=8, max_hsps=128)
                 # group HSPs by the library entry they land in so chains
@@ -140,8 +141,7 @@ class DomainScanner:
                                   min_len=min_aa_len, group=grp)
 
             self._chain_fns[min_aa_len] = jax.jit(jax.vmap(_one))
-        q_km = aa_kmer_codes(frames.reshape(B * 6, Laa), self.k)  # [B*6, A]
-        ch = self._chain_fns[min_aa_len](q_km)
+        ch = self._chain_fns[min_aa_len](frames.reshape(B * 6, Laa))
         qs_all = np.asarray(ch.qs)
         qe_all = np.asarray(ch.qe)
         ss_all = np.asarray(ch.ss)

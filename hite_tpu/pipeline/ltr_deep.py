@@ -443,18 +443,26 @@ def cross_class_filter(
         judge (one round of the MSA boundary engine — the reference runs
         judge_boundary_v5 once on each terminal's frames,
         filter_tir/filter_helitron/filter_sine src/Util.py:9980-10250;
-        the judge itself adapts to row count, so 2 rows suffice)."""
+        the judge itself adapts to row count, so 2 rows suffice).
+        All terminals analyze in ONE batched device call (the per-record
+        adjust path paid one tunnel dispatch per record per class)."""
+        from hite_tpu.pipeline.boundary_adjust import (
+            analyze_families_batched,
+        )
+
         if not idxs:
             return []
         copy_sets = finder.find_copies(
             [genome.extract(int(term_iv[i, 0]), int(term_iv[i, 1]))
              for i in idxs],
             min_coverage=0.9, max_copies=cfg.msa.max_copies)
+        batch = [((int(term_iv[i, 0]), int(term_iv[i, 1])), copies)
+                 for i, copies in zip(idxs, copy_sets)]
+        analyses = analyze_families_batched(genome, batch, cfg.msa)
         hits = []
-        for i, copies in zip(idxs, copy_sets):
-            res = adjust_candidate(
-                genome, (int(term_iv[i, 0]), int(term_iv[i, 1])), copies,
-                cfg.msa, judge, min_copies)
+        for i, (interval, copies), pre in zip(idxs, batch, analyses):
+            res = adjust_candidate(genome, interval, copies, cfg.msa,
+                                   judge, min_copies, precomputed=pre)
             if res.accepted:
                 hits.append((i, res.consensus))
         return hits
