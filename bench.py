@@ -137,6 +137,13 @@ def main() -> None:
     params = CoarseParams(seg_len=262_144, pair_batch=64, stride=4,
                           max_hits=4)
 
+    # tunnel warm-up OUTSIDE the timing window: the first device RPC of a
+    # fresh client can stall ~10 min while the axon server tears down the
+    # previous client's session (observed on v5e; the op itself is trivial)
+    import jax.numpy as jnp
+
+    jnp.zeros(8).sum().block_until_ready()
+
     t0 = time.perf_counter()
     result = run_pipeline(genome, cfg, out_dir="/tmp/hite_bench_out",
                           coarse_params=params)

@@ -55,6 +55,12 @@ def main() -> None:
     from hite_tpu.pipeline.run import run_pipeline
     from hite_tpu.utils.log import STAGE_TIMES
 
+    # absorb the fresh-client first-RPC stall outside the timed window
+    # (see bench.py: ~10 min tunnel session teardown after a prior client)
+    import jax.numpy as jnp
+
+    jnp.zeros(8).sum().block_until_ready()
+
     cfg = PipelineConfig(annotate=True,
                          align=AlignConfig(fixed_extend_base_threshold=2000))
     params = CoarseParams(seg_len=262_144, pair_batch=64, stride=4,
