@@ -137,12 +137,18 @@ def main() -> None:
     params = CoarseParams(seg_len=262_144, pair_batch=64, stride=4,
                           max_hits=4)
 
-    # tunnel warm-up OUTSIDE the timing window: the first device RPC of a
-    # fresh client can stall ~10 min while the axon server tears down the
-    # previous client's session (observed on v5e; the op itself is trivial)
+    # tunnel warm-up OUTSIDE the timing window: a fresh client's first
+    # SUBSTANTIAL device RPC can stall ~10 min while the axon server tears
+    # down the previous client's session (observed on v5e; a trivial 8-elem
+    # op did NOT trigger/absorb it — the stall follows the first real
+    # transfer+execute).  Run the pipeline's actual first program on a
+    # zero batch: same HLO -> persistent-cache hit, representative bytes.
     import jax.numpy as jnp
 
-    jnp.zeros(8).sum().block_until_ready()
+    from hite_tpu.ops.tandem import long_tandem_mask, tandem_mask
+
+    warm = jnp.asarray(np.zeros((16, 131_072), np.uint8))
+    np.asarray(jax.jit(lambda d: tandem_mask(d) | long_tandem_mask(d))(warm))
 
     t0 = time.perf_counter()
     result = run_pipeline(genome, cfg, out_dir="/tmp/hite_bench_out",

@@ -245,7 +245,13 @@ class CopyFinder:
         self._join_fill_w = fill_w
         self._join_max_occ = 1024
         self._join_max_hsps = 1 << 15
-        self.max_libjoin_bp = 1 << 26
+        # 16 Mbp join chunks: the first 100 Mbp hardware run OOMed at
+        # 1 << 26 — libjoin_pairs streams BOTH strands (2L) through a
+        # 4-array sort plus K slice-local fill temps, 19.5 GB HLO temp at
+        # a 64 Mbp chunk (v5e HBM is 16 GB).  Work is sort-dominated
+        # O(n log n), so smaller chunks cost only ~2 extra round trips
+        # each; genomes <= 16 Mbp still ride one chunk.
+        self.max_libjoin_bp = 1 << 24
         if self.strategy == "join":
             self._map_batch = None
             self._map_block = None

@@ -73,6 +73,9 @@ def read_protein_fasta(path: str) -> Dict[str, np.ndarray]:
     return seqs
 
 
+_SCANNER_CACHE: Dict[Tuple, "DomainScanner"] = {}
+
+
 class DomainScanner:
     """Sorted aa-k-mer index over one concatenated protein library."""
 
@@ -100,7 +103,15 @@ class DomainScanner:
 
     @classmethod
     def from_fasta(cls, path: str, k: int = 4) -> "DomainScanner":
-        return cls(read_protein_fasta(path), k=k)
+        """Process-cached: construction encodes + device-indexes the
+        protein library (several dispatches) and rescue / label-refine /
+        single-copy-gate call sites each want the same vendored libs."""
+        key = (os.path.abspath(path), k, os.path.getmtime(path))
+        hit = _SCANNER_CACHE.get(key)
+        if hit is None:
+            hit = cls(read_protein_fasta(path), k=k)
+            _SCANNER_CACHE[key] = hit
+        return hit
 
     def scan(
         self,

@@ -116,8 +116,6 @@ def ltr_pair_candidates(
     for wi, w0 in enumerate(win_starts):
         chunk = src[w0 : w0 + seg_len]
         segs[wi, : len(chunk)] = chunk
-    segs_d = jnp.asarray(segs)
-
     def one_seg(seg):
         km = enc.kmer_codes(seg, acfg.kmer_size)
         idx = build_index(seg, acfg.kmer_size)
@@ -132,13 +130,14 @@ def ltr_pair_candidates(
     seen: set = set()
     # skip (almost) fully masked segments
     live_idx = np.nonzero((segs < 4).mean(axis=1) >= 0.02)[0]
-    for b0 in range(0, len(live_idx), 8):
-        sel = live_idx[b0 : b0 + 8]
-        batch = segs_d[jnp.asarray(sel)]
-        if batch.shape[0] < 8:
-            batch = jnp.pad(batch, ((0, 8 - batch.shape[0]), (0, 0)),
-                            constant_values=4)
-        ch = one_seg_j(batch)
+    B = 16      # windows per dispatch (batch assembled host-side: a
+    for b0 in range(0, len(live_idx), B):   # device-side gather per batch
+        sel = live_idx[b0 : b0 + B]          # paid an extra round trip)
+        hb = segs[sel]
+        if hb.shape[0] < B:
+            hb = np.pad(hb, ((0, B - hb.shape[0]), (0, 0)),
+                        constant_values=4)
+        ch = one_seg_j(jnp.asarray(hb))
         qs, qe = np.asarray(ch.qs), np.asarray(ch.qe)
         ss, se = np.asarray(ch.ss), np.asarray(ch.se)
         valid = np.asarray(ch.valid)

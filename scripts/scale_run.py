@@ -56,10 +56,16 @@ def main() -> None:
     from hite_tpu.utils.log import STAGE_TIMES
 
     # absorb the fresh-client first-RPC stall outside the timed window
-    # (see bench.py: ~10 min tunnel session teardown after a prior client)
+    # with a REPRESENTATIVE dispatch (see bench.py: the ~10 min tunnel
+    # teardown stall follows the first substantial transfer+execute; a
+    # trivial 8-element op does not absorb it)
     import jax.numpy as jnp
+    import numpy as _np
 
-    jnp.zeros(8).sum().block_until_ready()
+    from hite_tpu.ops.tandem import long_tandem_mask, tandem_mask
+
+    warm = jnp.asarray(_np.zeros((16, 131_072), _np.uint8))
+    _np.asarray(jax.jit(lambda d: tandem_mask(d) | long_tandem_mask(d))(warm))
 
     cfg = PipelineConfig(annotate=True,
                          align=AlignConfig(fixed_extend_base_threshold=2000))
