@@ -149,11 +149,23 @@ def analyze_families_batched(
     for i, p in enumerate(preps):
         buckets.setdefault((p[7], p[6]), []).append(i)   # (R_bucket, width)
     for (rb, width), idxs in buckets.items():
-        centers = np.stack([preps[i][0] for i in idxs])
-        mats = np.stack([preps[i][1] for i in idxs])
-        lens = np.stack([preps[i][2] for i in idxs])
-        al = np.array([preps[i][3] for i in idxs], np.int32)
-        ar = np.array([preps[i][4] for i in idxs], np.int32)
+        # family dim padded to pow2: an unpadded F recompiles the analyze
+        # program for EVERY distinct bucket occupancy — at 775 families on
+        # the 100 Mbp run this was a compile storm (~1 remote compile per
+        # 2-4 min, tens of variants), not an execution cost
+        F = len(idxs)
+        Fp = max(4, 1 << (F - 1).bit_length())
+        centers = np.full((Fp,) + preps[idxs[0]][0].shape, 4, np.uint8)
+        mats = np.full((Fp,) + preps[idxs[0]][1].shape, 4, np.uint8)
+        lens = np.zeros((Fp,) + preps[idxs[0]][2].shape, np.int32)
+        al = np.zeros(Fp, np.int32)
+        ar = np.zeros(Fp, np.int32)
+        for b, i in enumerate(idxs):
+            centers[b] = preps[i][0]
+            mats[b] = preps[i][1]
+            lens[b] = preps[i][2]
+            al[b] = preps[i][3]
+            ar[b] = preps[i][4]
         M, homo, cons, left, right = _analyze_batch(
             jnp.asarray(centers), jnp.asarray(mats), jnp.asarray(lens),
             jnp.asarray(al), jnp.asarray(ar))
