@@ -7,8 +7,10 @@ SURVEY.md §3.1) on a production-representative 8 Mbp synthetic genome with
 planted families of all four TE classes, and reports Mbp of genome
 processed per second of wall clock.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus the
-per-stage wall-clock map ("stages") and secondary metrics}.
+Prints a safety-net JSON line first (full pipeline at 2 Mbp, so a driver
+timeout still leaves one parsed end-to-end record — the round-2 lesson),
+then the headline 8 Mbp JSON line LAST: {"metric", "value", "unit",
+"vs_baseline", the per-stage wall-clock map ("stages"), secondary metrics}.
 
 vs_baseline: the reference publishes no numeric end-to-end throughput
 (BASELINE.md). The denominator is an estimate of reference HiTE's
@@ -117,25 +119,52 @@ def build_bench_genome(length: int = GENOME_BP, scale: int = 1):
     return Genome.from_dict({"chr1": bg}), len(placed)
 
 
-def main() -> None:
-    import jax
-
-    try:  # persistent compile cache cuts warmup wall-clock across runs
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
+def _run_phase(genome_bp: int):
+    """Run the full pipeline on a `genome_bp` bench genome; returns
+    (throughput Mbp/s, wall s, record dict)."""
     from hite_tpu.config import AlignConfig, PipelineConfig
     from hite_tpu.pipeline.coarse import CoarseParams
     from hite_tpu.pipeline.run import run_pipeline
     from hite_tpu.utils.log import STAGE_TIMES
 
-    genome, n_planted = build_bench_genome()
+    STAGE_TIMES.clear()
+    genome, n_planted = build_bench_genome(genome_bp)
     cfg = PipelineConfig(annotate=True,
                          align=AlignConfig(fixed_extend_base_threshold=2000))
     params = CoarseParams(seg_len=262_144, pair_batch=64, stride=4,
                           max_hits=4)
+
+    t0 = time.perf_counter()
+    result = run_pipeline(genome, cfg,
+                          out_dir=f"/tmp/hite_bench_out_{genome_bp}",
+                          coarse_params=params)
+    dt = time.perf_counter() - t0
+    mbp_s = genome_bp / 1e6 / dt
+    stages = {k: round(v, 2) for k, v in sorted(
+        STAGE_TIMES.items(), key=lambda kv: -kv[1]) if v >= 1.0}
+    rec = {
+        "metric": "end_to_end_pipeline_throughput",
+        "value": round(mbp_s, 4),
+        "unit": "Mbp/s",
+        "vs_baseline": round(mbp_s / BASELINE_E2E_MBP_S, 2),
+        "wall_s": round(dt, 1),
+        "genome_mbp": genome_bp / 1e6,
+        "planted_copies": n_planted,
+        "library_entries": len(result.libs.get("merged", {})),
+        "annotation_hits": result.metrics.get("annotation_hits"),
+        "stages": stages,
+    }
+    return mbp_s, dt, rec
+
+
+def main() -> None:
+    import jax
+
+    try:  # persistent compile cache cuts warmup wall-clock across runs
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     # tunnel warm-up OUTSIDE the timing window: a fresh client's first
     # SUBSTANTIAL device RPC can stall ~10 min while the axon server tears
@@ -147,30 +176,21 @@ def main() -> None:
 
     from hite_tpu.ops.tandem import long_tandem_mask, tandem_mask
 
-    warm = jnp.asarray(np.zeros((16, 131_072), np.uint8))
+    warm = jnp.asarray(np.zeros((16, 262_144), np.uint8))
     np.asarray(jax.jit(lambda d: tandem_mask(d) | long_tandem_mask(d))(warm))
 
-    t0 = time.perf_counter()
-    result = run_pipeline(genome, cfg, out_dir="/tmp/hite_bench_out",
-                          coarse_params=params)
-    dt = time.perf_counter() - t0
+    # SAFETY-NET phase (round-2 lesson: the driver bench timed out with
+    # NO parsed record, BENCH_r02.json rc=124): a small full-pipeline run
+    # first, so a later timeout still leaves one honest parsed end-to-end
+    # number in the output.  The final (headline) JSON line is printed
+    # LAST; both lines carry the same metric and honest genome_mbp.
+    mbp_s, dt, rec = _run_phase(2_000_000)
+    rec["phase"] = "safety-2mbp"
+    print(json.dumps(rec), flush=True)
 
-    mbp_s = GENOME_BP / 1e6 / dt
-    stages = {k: round(v, 2) for k, v in sorted(
-        STAGE_TIMES.items(), key=lambda kv: -kv[1]) if v >= 1.0}
-    print(json.dumps({
-        "metric": "end_to_end_pipeline_throughput",
-        "value": round(mbp_s, 4),
-        "unit": "Mbp/s",
-        "vs_baseline": round(mbp_s / BASELINE_E2E_MBP_S, 2),
-        "wall_s": round(dt, 1),
-        "genome_mbp": GENOME_BP / 1e6,
-        "planted_copies": n_planted,
-        "library_entries": len(result.libs.get("merged", {})),
-        "annotation_hits": result.metrics.get("annotation_hits"),
-        "vs_round1_e2e": round(dt and (1960.0 / dt), 2),
-        "stages": stages,
-    }))
+    mbp_s, dt, rec = _run_phase(GENOME_BP)
+    rec["vs_round1_e2e"] = round(dt and (1960.0 / dt), 2)
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -105,10 +105,15 @@ class MSAConfig:
     """Batched MSA + boundary adjudication (reference flank_region_align_v5, Util.py:8032)."""
 
     max_copies: int = 100                # MSA row cap (ready_for_MSA.sh 100 100)
-    flanking_len: int = 50               # context added around candidates
+    flanking_len: int = 50               # gate-stage context around candidates
     frame_flank: int = 100               # FiLTR both-ends frame width (.matrix files)
-    long_copy_trunc: int = 500           # >1kb copies truncated to first/last 500bp (Util.py:8116)
-    sparse_col_gap_frac: float = 0.9     # column removed if gap fraction above this
+    # frames longer than 2x this are analyzed as head+tail concatenations
+    # (the reference truncates >1kb copies to first/last 500bp before MSA,
+    # Util.py:8116-8124; see boundary_adjust._prep_family).  The sparse-
+    # column removal the reference applies before judging
+    # (remove_sparse_col_in_align_file, Util.py:10344) has no equivalent
+    # knob here: anchor-projection MSA never creates insertion columns.
+    long_copy_trunc: int = 500
     # adaptive homology thresholds by row count (judge_boundary_v5 :9240-9245)
     homo_thresholds: Tuple[Tuple[int, float], ...] = ((5, 0.95), (10, 0.9), (0, 0.7))
     int_window: int = 20                 # internal homology window (cols)

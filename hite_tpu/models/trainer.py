@@ -171,6 +171,40 @@ def make_dataset(
     return X, np.array(labels, np.int32), names
 
 
+TEST_REF = os.path.join(os.path.dirname(__file__), "..", "data", "test.ref")
+
+
+def curated_dataset(
+    fold: Optional[str] = None,
+) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """The vendored curated library (`data/test.ref`, 78 labeled families
+    from the reference's --species test set) as a real-data classifier
+    dataset, with the SAME feature evidence the pipeline computes at
+    inference (protein-domain scan; no genome -> no TSD block).
+
+    fold: None = all mappable entries; 'train'/'eval' = alternate entries
+    of the name-sorted list (deterministic 50/50 split, so the bundled
+    checkpoint can be trained on one half and honestly evaluated on the
+    other — NeuralTE's CrossValidator.py protocol at our data scale).
+    """
+    from hite_tpu.config import DEFAULT
+    from hite_tpu.io.fasta import read_fasta
+    from hite_tpu.pipeline.library import library_feature_evidence
+
+    lib = read_fasta(TEST_REF)
+    names = sorted(n for n in lib
+                   if label_to_class(n.partition("#")[2]) is not None)
+    if fold == "train":
+        names = names[::2]
+    elif fold == "eval":
+        names = names[1::2]
+    seqs = [lib[n][:8192] for n in names]
+    _tsd, dom_cls = library_feature_evidence(seqs, DEFAULT, None)
+    domains = {n: (WICKER_CLASSES[c] if c is not None else None)
+               for n, c in zip(names, dom_cls)}
+    return make_dataset({n: lib[n] for n in names}, domains=domains)
+
+
 def train_classifier(
     X: np.ndarray,
     y: np.ndarray,
@@ -220,15 +254,16 @@ def train_classifier(
     return model, params, history
 
 
-_APPLY_CACHE: Dict[str, object] = {}
+_APPLY_CACHE: Dict[object, object] = {}
 
 
 def jit_apply(model, params, *inputs):
     """Cached jitted inference apply — an eager flax `model.apply` walks
     the net one jnp op at a time, and each op is a separate tunnel
-    dispatch (~1s each on the remote TPU).  Cached per model class, so
-    every inference call site shares one compiled program per shape."""
-    key = type(model).__name__
+    dispatch (~1s each on the remote TPU).  Cached per model INSTANCE
+    (flax modules are hashable frozen dataclasses), so same-class models
+    with different hyperparameters do not share a stale architecture."""
+    key = model
     fn = _APPLY_CACHE.get(key)
     if fn is None:
         fn = jax.jit(lambda p, *xs: model.apply(p, *xs))

@@ -18,10 +18,15 @@
 #include <numeric>
 #include <vector>
 
-extern "C" int64_t fmea_chain(const int64_t* qs, const int64_t* qe,
-                              const int64_t* ss, const int64_t* se,
-                              int64_t n, int64_t T, int64_t min_len,
-                              int64_t* out) {
+// fmea_chain2 adds diag_tol: when > 0, an HSP merges into a chain only if
+// its diagonal offset (ss - qs) stays within diag_tol of the chain's —
+// copy-retrieval semantics, where a neighboring genomic copy (query
+// restarting at 0 while the subject continues) must START A NEW CHAIN
+// instead of being absorbed and then dropped by the length-ratio filter.
+extern "C" int64_t fmea_chain2(const int64_t* qs, const int64_t* qe,
+                               const int64_t* ss, const int64_t* se,
+                               int64_t n, int64_t T, int64_t diag_tol,
+                               int64_t min_len, int64_t* out) {
   if (n <= 0) return 0;
   std::vector<int64_t> order(n);
   std::iota(order.begin(), order.end(), 0);
@@ -52,7 +57,12 @@ extern "C" int64_t fmea_chain(const int64_t* qs, const int64_t* qe,
         open.erase(open.begin() + j);
         continue;
       }
-      if (!merged && std::llabs((long long)(x_ss - open[j].se)) <= T &&
+      const bool diag_ok =
+          diag_tol <= 0 ||
+          std::llabs((long long)((x_ss - x_qs) -
+                                 (open[j].se - open[j].qe))) <= diag_tol;
+      if (!merged && diag_ok &&
+          std::llabs((long long)(x_ss - open[j].se)) <= T &&
           x_se >= open[j].ss) {
         open[j].qe = std::max(open[j].qe, x_qe);
         open[j].ss = std::min(open[j].ss, x_ss);
@@ -65,4 +75,11 @@ extern "C" int64_t fmea_chain(const int64_t* qs, const int64_t* qe,
   }
   for (const Chain& c : open) emit(c);
   return n_out;
+}
+
+extern "C" int64_t fmea_chain(const int64_t* qs, const int64_t* qe,
+                              const int64_t* ss, const int64_t* se,
+                              int64_t n, int64_t T, int64_t min_len,
+                              int64_t* out) {
+  return fmea_chain2(qs, qe, ss, se, n, T, /*diag_tol=*/0, min_len, out);
 }

@@ -38,12 +38,17 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO):
+    srcs = [os.path.join(_DIR, f) for f in os.listdir(_DIR)
+            if f.endswith(".cc")]
+    stale = os.path.exists(_SO) and any(
+        os.path.getmtime(s) > os.path.getmtime(_SO) for s in srcs)
+    if not os.path.exists(_SO) or stale:
         try:
-            subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+            subprocess.run(["make", "-C", _DIR, "-s", "-B"], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_SO):
+                return None
     try:
         lib = ctypes.CDLL(_SO)
         lib.fasta_read.argtypes = [ctypes.c_char_p,
@@ -104,24 +109,28 @@ def merge_intervals(iv: np.ndarray, gap: int = 0) -> np.ndarray:
 
 def fmea_chain(qs: np.ndarray, qe: np.ndarray, ss: np.ndarray,
                se: np.ndarray, extend_threshold: int,
-               min_len: int = 80) -> Optional[np.ndarray]:
-    """Native FMEA greedy chaining; None when the library is unavailable."""
+               min_len: int = 80, diag_tol: int = 0) -> Optional[np.ndarray]:
+    """Native FMEA greedy chaining; None when the library is unavailable.
+
+    diag_tol > 0 enables copy-retrieval semantics (fmea_chain2): HSPs
+    only merge into diagonal-consistent chains, so a neighboring genomic
+    copy starts a new chain instead of being absorbed."""
     lib = _load()
     if lib is None:
         return None
-    if not hasattr(lib, "fmea_chain"):
+    if not hasattr(lib, "fmea_chain2"):
         return None
     n = len(qs)
     if n == 0:
         return np.zeros((0, 4), dtype=np.int64)
     arrs = [np.ascontiguousarray(a, dtype=np.int64) for a in (qs, qe, ss, se)]
     out = np.empty((n, 4), dtype=np.int64)
-    lib.fmea_chain.argtypes = [ctypes.POINTER(ctypes.c_int64)] * 4 + [
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    lib.fmea_chain2.argtypes = [ctypes.POINTER(ctypes.c_int64)] * 4 + [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64)]
-    lib.fmea_chain.restype = ctypes.c_int64
-    m = lib.fmea_chain(
+    lib.fmea_chain2.restype = ctypes.c_int64
+    m = lib.fmea_chain2(
         *(a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)) for a in arrs),
-        n, int(extend_threshold), int(min_len),
+        n, int(extend_threshold), int(diag_tol), int(min_len),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return out[:m].copy()

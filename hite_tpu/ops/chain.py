@@ -121,6 +121,7 @@ def chain_hsps_host(
     *,
     extend_threshold: int,
     min_len: int = 80,
+    diag_tol: int = 0,
 ) -> "np.ndarray":
     """Exact FMEA greedy chaining on the host (numpy), multiple open chains.
 
@@ -147,14 +148,15 @@ def chain_hsps_host(
     try:
         from hite_tpu.native import runtime as native_rt
 
-        out = native_rt.fmea_chain(qs, qe, ss, se, extend_threshold, min_len)
+        out = native_rt.fmea_chain(qs, qe, ss, se, extend_threshold, min_len,
+                                   diag_tol=diag_tol)
         if out is not None:
             return out
     except Exception:
         pass
     return chain_hsps_host_py(qs, qe, ss, se,
                               extend_threshold=extend_threshold,
-                              min_len=min_len)
+                              min_len=min_len, diag_tol=diag_tol)
 
 
 def chain_hsps_host_py(
@@ -165,6 +167,7 @@ def chain_hsps_host_py(
     *,
     extend_threshold: int,
     min_len: int = 80,
+    diag_tol: int = 0,
 ) -> "np.ndarray":
     """Pure-Python FMEA chaining (the oracle for native/chain.cc)."""
     import numpy as np
@@ -190,7 +193,11 @@ def chain_hsps_host_py(
                 closed.append((o_qs[j], o_qe[j], o_ss[j], o_se[j]))
                 o_qs.pop(j); o_qe.pop(j); o_ss.pop(j); o_se.pop(j)
                 continue
-            if (not merged and abs(x_ss - o_se[j]) <= T and x_se >= o_ss[j]):
+            diag_ok = (diag_tol <= 0
+                       or abs((x_ss - x_qs) - (o_se[j] - o_qe[j]))
+                       <= diag_tol)
+            if (not merged and diag_ok and abs(x_ss - o_se[j]) <= T
+                    and x_se >= o_ss[j]):
                 o_qe[j] = max(o_qe[j], x_qe)
                 o_ss[j] = min(o_ss[j], x_ss)
                 o_se[j] = max(o_se[j], x_se)

@@ -134,18 +134,31 @@ def annotate_genome(
         for h, ident in zip(hits, idents):
             if ident > 0:
                 h.identity = float(ident)
-    # resolve overlapping hits: keep the longer hit per overlapped locus
-    hits.sort(key=lambda h: (h.contig, h.start))
+    resolved = resolve_overlaps(hits)
+    logger.info("annotate: %d hits (%d after overlap resolution)",
+                len(hits), len(resolved))
+    return resolved
+
+
+def resolve_overlaps(hits: List[AnnotationHit]) -> List[AnnotationHit]:
+    """Resolve overlapping hits by ALIGNMENT SCORE, like RepeatMasker's
+    locus resolution (pan_annotate_genome.py:27): score = span scaled by
+    the SW-rescored identity under the engine's +1/-2 scoring — a clean
+    short hit beats a longer but diverged one at nested loci (the
+    previous longest-wins rule systematically favored the diverged hit)."""
+
+    def _score(h: AnnotationHit) -> float:
+        return (h.end - h.start + 1) * (3.0 * h.identity - 2.0)
+
+    hits = sorted(hits, key=lambda h: (h.contig, h.start))
     resolved: List[AnnotationHit] = []
     for h in hits:
         if resolved and resolved[-1].contig == h.contig and \
                 h.start <= resolved[-1].end - 10:
-            if (h.end - h.start) > (resolved[-1].end - resolved[-1].start):
+            if _score(h) > _score(resolved[-1]):
                 resolved[-1] = h
             continue
         resolved.append(h)
-    logger.info("annotate: %d hits (%d after overlap resolution)",
-                len(hits), len(resolved))
     return resolved
 
 

@@ -47,6 +47,11 @@ class FamilyAnalysis:
     left_pos: int
     right_found: bool
     right_pos: int
+    # long-copy truncation (Util.py:8116-8124): when > 0 the matrix is the
+    # concatenation of the frame's first and last `trunc_at` bp, and matrix
+    # columns >= trunc_at map to genome positions + trunc_gap
+    trunc_at: int = 0
+    trunc_gap: int = 0
 
 
 @dataclass
@@ -60,8 +65,21 @@ class AdjustResult:
 
 
 def _analyze_core(center, copies_mat, lens, anchor_l, anchor_r, *,
-                  radius=50, int_window=20, ext_window=10):
-    M = project_to_center(center, copies_mat, lens)
+                  radius=50, int_window=20, ext_window=10, trunc_at=0):
+    if trunc_at:
+        # truncated-family frame (Util.py:8116-8124): center/copies are the
+        # concatenation of the frame's first and last `trunc_at` bp.  The
+        # two halves are projected INDEPENDENTLY — head-vs-tail anchor
+        # diagonals differ by the (copy middle) - (center middle) length
+        # delta, which can exceed the projection's diagonal tolerance for
+        # length-divergent copies; per-half projection keeps each half on
+        # its own dominant diagonal.
+        T = trunc_at
+        Mh = project_to_center(center[:T], copies_mat[:, :T], lens)
+        Mt = project_to_center(center[T:], copies_mat[:, T:], lens)
+        M = jnp.concatenate([Mh, Mt], axis=1)
+    else:
+        M = project_to_center(center, copies_mat, lens)
     thr = adaptive_threshold(jnp.sum(lens > 0))
     stats = column_stats(M, thr)
     left = search_boundary(stats.homo, anchor_l, side="left", radius=radius,
@@ -73,16 +91,19 @@ def _analyze_core(center, copies_mat, lens, anchor_l, anchor_r, *,
 
 
 _analyze = functools.partial(
-    jax.jit, static_argnames=("radius", "int_window", "ext_window")
+    jax.jit, static_argnames=("radius", "int_window", "ext_window",
+                              "trunc_at")
 )(_analyze_core)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "int_window", "ext_window"))
+@functools.partial(jax.jit, static_argnames=("radius", "int_window",
+                                             "ext_window", "trunc_at"))
 def _analyze_batch(centers, copies_mats, lens, anchors_l, anchors_r, *,
-                   radius=50, int_window=20, ext_window=10):
+                   radius=50, int_window=20, ext_window=10, trunc_at=0):
     """vmapped family analysis: centers [F, W], copies [F, R, W], ..."""
     fn = functools.partial(_analyze_core, radius=radius,
-                           int_window=int_window, ext_window=ext_window)
+                           int_window=int_window, ext_window=ext_window,
+                           trunc_at=trunc_at)
     return jax.vmap(fn)(centers, copies_mats, lens, anchors_l, anchors_r)
 
 
@@ -93,7 +114,16 @@ def _prep_family(
     cfg: MSAConfig,
 ):
     """Host-side family prep: (c_pad, mat, lens, anchor_l, anchor_r,
-    center_start, width, R_bucket)."""
+    center_start, width, R_bucket, trunc_at, trunc_gap).
+
+    Long families are TRUNCATED to their first/last `cfg.long_copy_trunc`
+    bp (the reference's MSA memory tactic for >1kb copies,
+    `Util.py:8116-8124`): center and every flank-extended copy become
+    head+tail concatenations, so a 30kb family costs a [R, 1024] matrix
+    instead of [R, 32768].  Matrix columns >= trunc_at map back to genome
+    positions + trunc_gap (both ends of the frame survive whole, and the
+    boundary search never leaves them).
+    """
     s, e = int(interval[0]), int(interval[1])
     flank = cfg.frame_flank
     center = genome.extract(s, e, flank)
@@ -105,16 +135,43 @@ def _prep_family(
     anchor_l = left_flank
     anchor_r = left_flank + (e - s)
 
-    copy_seqs = [genome.extract(h.start, h.end, flank) for h in copies]
-    from hite_tpu.io.fasta import revcomp as np_revcomp
-    copy_seqs = [np_revcomp(cs) if h.strand == 1 else cs
-                 for cs, h in zip(copy_seqs, copies)]
+    if copies and isinstance(copies[0], np.ndarray):
+        # pre-extracted, flank-extended, strand-corrected copy sequences —
+        # the cross-genome rescue path, where hits live in OTHER genomes'
+        # coordinate spaces and must be extracted by their owners
+        copy_seqs = list(copies)
+    else:
+        copy_seqs = [genome.extract(h.start, h.end, flank) for h in copies]
+        from hite_tpu.io.fasta import revcomp as np_revcomp
+        copy_seqs = [np_revcomp(cs) if h.strand == 1 else cs
+                     for cs, h in zip(copy_seqs, copies)]
     R_bucket = max(4, 1 << (len(copy_seqs) - 1).bit_length()) if copy_seqs else 4
-    width = bucket_for(len(center))
-    mat, lens = pad_seqs(copy_seqs, width, n_rows=R_bucket)
+
+    # T rounded up to the 512 bucket (cfg default 500) so the truncated
+    # width is exactly the 1024 bucket; anchors sit ~frame_flank from the
+    # halves' outer edges, so radius+windows (<=80) never cross the T seam
+    T = bucket_for(cfg.long_copy_trunc)
+    Lc = len(center)
+    if Lc > 2 * T:
+        trunc_at, trunc_gap = T, Lc - 2 * T
+        center = np.concatenate([center[:T], center[-T:]])
+        anchor_r -= trunc_gap
+        width = 2 * T
+        mat = np.full((R_bucket, width), 4, np.uint8)
+        lens = np.zeros(R_bucket, np.int32)
+        for r, cs in enumerate(copy_seqs):
+            n = min(len(cs), T)          # per-half content length
+            mat[r, :n] = cs[:n]
+            mat[r, T : T + n] = cs[-n:]
+            lens[r] = n
+    else:
+        trunc_at, trunc_gap = 0, 0
+        width = bucket_for(Lc)
+        mat, lens = pad_seqs(copy_seqs, width, n_rows=R_bucket)
     c_pad = np.full(width, 4, np.uint8)
     c_pad[: len(center)] = center
-    return c_pad, mat, lens, anchor_l, anchor_r, center_start, width, R_bucket
+    return (c_pad, mat, lens, anchor_l, anchor_r, center_start, width,
+            R_bucket, trunc_at, trunc_gap)
 
 
 def analyze_family(
@@ -124,15 +181,16 @@ def analyze_family(
     cfg: MSAConfig,
 ) -> Tuple[FamilyAnalysis, int]:
     """Build + analyze the family matrix; returns (analysis, center_start)."""
-    c_pad, mat, lens, anchor_l, anchor_r, center_start, _w, _r = _prep_family(
-        genome, interval, copies, cfg)
+    (c_pad, mat, lens, anchor_l, anchor_r, center_start, _w, _r,
+     trunc_at, trunc_gap) = _prep_family(genome, interval, copies, cfg)
     M, homo, cons, left, right = _analyze(
         jnp.asarray(c_pad), jnp.asarray(mat), jnp.asarray(lens),
-        jnp.int32(anchor_l), jnp.int32(anchor_r))
+        jnp.int32(anchor_l), jnp.int32(anchor_r), trunc_at=trunc_at)
     fa = FamilyAnalysis(
         M=np.asarray(M), homo=np.asarray(homo), cons=np.asarray(cons),
         left_found=bool(left.found), left_pos=int(left.pos),
         right_found=bool(right.found), right_pos=int(right.pos),
+        trunc_at=trunc_at, trunc_gap=trunc_gap,
     )
     return fa, center_start
 
@@ -147,8 +205,9 @@ def analyze_families_batched(
     out: List[Optional[Tuple[FamilyAnalysis, int]]] = [None] * len(items)
     buckets: dict = {}
     for i, p in enumerate(preps):
-        buckets.setdefault((p[7], p[6]), []).append(i)   # (R_bucket, width)
-    for (rb, width), idxs in buckets.items():
+        # (R_bucket, width, trunc_at)
+        buckets.setdefault((p[7], p[6], p[8]), []).append(i)
+    for (rb, width, trunc_at), idxs in buckets.items():
         # family dim padded to pow2: an unpadded F recompiles the analyze
         # program for EVERY distinct bucket occupancy — at 775 families on
         # the 100 Mbp run this was a compile storm (~1 remote compile per
@@ -168,7 +227,7 @@ def analyze_families_batched(
             ar[b] = preps[i][4]
         M, homo, cons, left, right = _analyze_batch(
             jnp.asarray(centers), jnp.asarray(mats), jnp.asarray(lens),
-            jnp.asarray(al), jnp.asarray(ar))
+            jnp.asarray(al), jnp.asarray(ar), trunc_at=trunc_at)
         M = np.asarray(M)
         homo = np.asarray(homo)
         cons = np.asarray(cons)
@@ -180,7 +239,8 @@ def analyze_families_batched(
             fa = FamilyAnalysis(
                 M=M[b], homo=homo[b], cons=cons[b],
                 left_found=bool(lf[b]), left_pos=int(lp[b]),
-                right_found=bool(rf[b]), right_pos=int(rp[b]))
+                right_found=bool(rf[b]), right_pos=int(rp[b]),
+                trunc_at=trunc_at, trunc_gap=preps[i][9])
             out[i] = (fa, preps[i][5])
     return out  # type: ignore[return-value]
 
@@ -211,13 +271,34 @@ def adjust_candidate(
         return AdjustResult(accepted=False, start=int(interval[0]),
                             end=int(interval[1]), copy_count=n, low_copy=False)
     ok, bl, br = judge(fa)
-    if not ok or br - bl < 30:
+    # map truncated-matrix columns back to genome offsets (cols past the
+    # head/tail seam shift by the cut-out middle length)
+    T, gap = fa.trunc_at, fa.trunc_gap
+
+    def _g(p: int) -> int:
+        return p + gap if (T and p >= T) else p
+
+    if not ok or _g(br) - _g(bl) < 30:
         count("boundary.judge_reject")
         return AdjustResult(accepted=False, start=int(interval[0]),
                             end=int(interval[1]), copy_count=n, low_copy=False)
     count("boundary.accepted")
-    cons = fa.cons[bl:br]
-    cons = cons[cons < 4]  # drop gap/N columns for the consensus readout
-    return AdjustResult(accepted=True, start=center_start + bl,
-                        end=center_start + br, copy_count=n,
+    if T and br >= T > bl:
+        # truncated family: consensus = head MSA consensus + the frame's
+        # (cut-out) middle genome sequence + tail MSA consensus.  The
+        # reference re-judges the full alignment after the trunc gate
+        # passes (run_find_members_v8, Util.py:10439-10449); for a
+        # >=min_coverage-identity family the candidate's own middle is the
+        # consensus to within the same tolerance, at none of the
+        # [R, 32768]-matrix cost that OOMed the 100 Mbp run.
+        head = fa.cons[bl:T]
+        tail = fa.cons[T:br]
+        mid = genome.extract(center_start + T, center_start + T + gap)
+        cons = np.concatenate([head[head < 4], mid[mid < 4],
+                               tail[tail < 4]])
+    else:
+        cons = fa.cons[bl:br]
+        cons = cons[cons < 4]  # drop gap/N columns for the consensus readout
+    return AdjustResult(accepted=True, start=center_start + _g(bl),
+                        end=center_start + _g(br), copy_count=n,
                         low_copy=False, consensus=cons.astype(np.uint8))

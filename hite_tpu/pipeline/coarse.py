@@ -165,6 +165,18 @@ def _chains_to_intervals(
     return np.concatenate(out).astype(np.int64)
 
 
+def _chunk_grid(L: int, C: int, halo: int) -> List[int]:
+    """Overlapping-chunk start offsets shared by the single-device and
+    mesh-sharded selfjoin paths (identical grids -> identical ownership
+    cores -> structural parity between the two paths)."""
+    if L <= C:
+        return [0]
+    step = max(1, C - 2 * halo)
+    starts = [min(s, max(0, L - C))
+              for s in range(0, max(1, L - 2 * halo), step)]
+    return sorted(set(starts))
+
+
 def _selfjoin_intervals(
     genome: Genome, cfg: AlignConfig, p: CoarseParams, use_masked: bool,
     halo: int = 30_000,
@@ -174,7 +186,11 @@ def _selfjoin_intervals(
     Genomes larger than `p.max_selfjoin_bp` run as overlapping device-side
     chunks (halo = max repeat length so boundary-straddling repeats are
     seen whole by one chunk); chunk-local coordinates map back by offset
-    and duplicates collapse in the shared dedup tail.
+    and halo-overlap duplicates collapse in the shared dedup tail.  The
+    chunk grid is IDENTICAL to the mesh-sharded path's (`_chunk_grid`), so
+    both paths emit the same interval union — the round-2 sharded-vs-single
+    divergence (44 vs 33 candidates) was the two paths gridding the genome
+    differently (padded vs true length), not a sharding artifact.
     """
     import jax
 
@@ -193,14 +209,11 @@ def _selfjoin_intervals(
         return jax.lax.dynamic_slice(flat_d, (c0,), (C,))
 
     out: List[np.ndarray] = []
-    step = C - 2 * halo
-    for c0 in range(0, max(1, Lp - 2 * halo), step):
-        c0 = min(c0, Lp - C)
+    starts = _chunk_grid(L, C, halo)
+    for c0 in starts:
         iv = _selfjoin_chunk(_slice(jnp.int32(c0)), c0, cfg, p)
         if len(iv):
             out.append(iv)
-        if c0 == Lp - C:
-            break
     if not out:
         return np.zeros((0, 2), dtype=np.int64)
     return np.concatenate(out)
@@ -228,11 +241,11 @@ def _selfjoin_intervals_mesh(
     src = (genome.masked if (use_masked and genome.masked is not None)
            else genome.flat)
     L = len(src)
-    C = min(p.max_selfjoin_bp, max(65_536, 1 << (L - 1).bit_length()))
-    step = max(1, C - 2 * halo)
-    starts = list(range(0, max(1, L - 2 * halo), step))
-    starts = [min(s, max(0, L - C)) for s in starts]
-    starts = sorted(set(starts))
+    # same chunk size as the single-device path (device_flat_padded pads
+    # to pow2): identical grids are what make the ownership cores line up
+    Lp = max(65_536, 1 << (L - 1).bit_length())
+    C = min(p.max_selfjoin_bp, Lp)
+    starts = _chunk_grid(L, C, halo)
 
     dp = mesh.shape.get("dp", 1)
     n_chunks = -(-len(starts) // dp) * dp

@@ -528,9 +528,14 @@ class CopyFinder:
                 # max_len_ratio filter bounds useful subject gaps anyway
                 T_ci = int(min(cfg.fixed_extend_base_threshold,
                                max(100, lens[ci] // 2)))
+                # diag_tol = T_ci: an HSP of the NEXT genomic copy (query
+                # restarting near 0, subject continuing) sits >= one full
+                # candidate length off the chain's diagonal, so it starts
+                # its own chain instead of merging and then losing BOTH
+                # copies to the max_len_ratio filter (clustered TE arrays)
                 ch = chain_hsps_host(
                     g_qs, g_qe, g_ss, g_se,
-                    extend_threshold=T_ci, min_len=50)
+                    extend_threshold=T_ci, min_len=50, diag_tol=T_ci)
                 if not len(ch):
                     continue
                 lf = lens_f[ci]
@@ -603,7 +608,8 @@ def _kmer_sketch_groups(seqs: Sequence[np.ndarray], k: int,
         return [0] * n
     salts = _MINHASH_SALTS[:sketch]
     sk = np.full((n, sketch), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
-    for i, s in enumerate(seqs):
+    has_sketch = np.zeros(n, bool)   # rows with no valid k-mers keep the
+    for i, s in enumerate(seqs):     # sentinel and must NOT match each other
         v = np.asarray(s, np.int64)
         if len(v) < k:
             continue
@@ -620,6 +626,7 @@ def _kmer_sketch_groups(seqs: Sequence[np.ndarray], k: int,
         h = (codes.astype(np.uint64)[:, None] ^ salts[None, :]) \
             * np.uint64(0xC2B2AE3D27D4EB4F)
         sk[i] = h.min(axis=0)
+        has_sketch[i] = True
     parent = np.arange(n)
 
     def find(x: int) -> int:
@@ -634,7 +641,7 @@ def _kmer_sketch_groups(seqs: Sequence[np.ndarray], k: int,
         agree = (sk[a0 : a0 + B, None, :] == sk[None, :, :]).mean(axis=2)
         ii, jj = np.nonzero(agree >= thresh)
         for a, b in zip(ii + a0, jj):
-            if a < b:
+            if a < b and has_sketch[a] and has_sketch[b]:
                 ra, rb = find(int(a)), find(int(b))
                 if ra != rb:
                     parent[ra] = rb

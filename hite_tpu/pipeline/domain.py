@@ -256,3 +256,64 @@ def rescue_by_domain(
     return np.array([
         any(h.entry_cov >= min_entry_cov for h in hits) for hits in hit_sets
     ])
+
+
+# ---- reverse-transcriptase motif grammar (LTRPeps.lib replacement) ------
+
+# RT core motif grammar (Xiong & Eickbush 1990 domain blocks 4 and 5):
+# every LTR retrotransposon pol carries, in one reading frame,
+# [LIVM]PQG followed 5-200 aa later by the catalytic [YF]xDD triad.
+# LTRPeps.lib is a missing blob in the reference checkout (only blast
+# index shards without .psq survive), so the single-copy gate's protein
+# half runs on this data-free grammar instead of a profile library.
+_RT_M1_FIRST = tuple("LIVM")
+_RT_M2_FIRST = tuple("YF")
+
+
+def rt_motif_present(cand_seqs: Sequence[np.ndarray],
+                     gap_min: int = 5, gap_max: int = 200) -> np.ndarray:
+    """Bool [N]: a reading frame contains the ordered RT motif grammar."""
+    from hite_tpu.ops.protein import AA_TO_CODE
+
+    n = len(cand_seqs)
+    out = np.zeros(n, bool)
+    if n == 0:
+        return out
+    m1_first = np.array([AA_TO_CODE[c] for c in _RT_M1_FIRST])
+    pqg = np.array([AA_TO_CODE[c] for c in "PQG"])
+    m2_first = np.array([AA_TO_CODE[c] for c in _RT_M2_FIRST])
+    dd = np.array([AA_TO_CODE[c] for c in "DD"])
+
+    from hite_tpu.pipeline.candidates import bucket_iter
+
+    widths = [max(96, len(s)) for s in cand_seqs]
+    for width, idxs in bucket_iter(range(n), np.array(widths)):
+        sub = [cand_seqs[i] for i in idxs]
+        mat, _ = pad_seqs(sub, width, n_rows=pad_rows(len(sub)))
+        aa = np.asarray(_translate_jit(jnp.asarray(mat)))  # [B, 6, W//3]
+        for bi, i in enumerate(idxs):
+            fr = aa[bi]
+            # motif start masks per frame
+            m1 = (np.isin(fr[:, :-3], m1_first)
+                  & (fr[:, 1:-2] == pqg[0])
+                  & (fr[:, 2:-1] == pqg[1])
+                  & (fr[:, 3:] == pqg[2]))
+            m2 = (np.isin(fr[:, :-3], m2_first)
+                  & (fr[:, 2:-1] == dd[0]) & (fr[:, 3:] == dd[1]))
+            for f in range(6):
+                p1 = np.nonzero(m1[f])[0]
+                if not len(p1):
+                    continue
+                p2 = np.nonzero(m2[f])[0]
+                if not len(p2):
+                    continue
+                d = p2[None, :] - p1[:, None] - 4   # aa gap after LPQG
+                if ((d >= gap_min) & (d <= gap_max)).any():
+                    out[i] = True
+                    break
+    return out
+
+
+@jax.jit
+def _translate_jit(mat):
+    return translate_frames(mat)

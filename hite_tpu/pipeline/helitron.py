@@ -101,7 +101,7 @@ def lcv_gate(
     head_bank, tail_bank = default_banks()
     out: List[Tuple[int, int]] = []
     lens = intervals[:, 1] - intervals[:, 0]
-    flank = 50
+    flank = cfg.msa.flanking_len   # gate-stage candidate context
 
     for width, idxs in bucket_iter(range(len(intervals)), lens + 2 * flank):
         seqs = [genome.extract(intervals[i, 0], intervals[i, 1], flank)
@@ -163,7 +163,7 @@ def eahelitron_gate(
     from hite_tpu.ops.eahelitron import hel3_scan, select_pairs, tc5_scan
 
     hcfg = cfg.helitron
-    flank = 50
+    flank = cfg.msa.flanking_len   # gate-stage candidate context
     out: List[Tuple[int, int]] = []
     lens = intervals[:, 1] - intervals[:, 0]
 

@@ -116,53 +116,78 @@ def ltr_pair_candidates(
     for wi, w0 in enumerate(win_starts):
         chunk = src[w0 : w0 + seg_len]
         segs[wi, : len(chunk)] = chunk
-    def one_seg(seg):
-        km = enc.kmer_codes(seg, acfg.kmer_size)
-        idx = build_index(seg, acfg.kmer_size)
-        h = pair_hsps(km, idx, k=acfg.kmer_size, stride=1, max_hits=8,
-                      diag_band=32, run_gap=96, min_seeds=4,
-                      min_hsp_len=30, max_hsps=1024, exclude_self=True)
-        return chain_hsps(h, extend_threshold=200, max_chains=256,
-                          min_len=lcfg.min_ltr_len)
+    PAIR_BUDGET = 4096
 
-    one_seg_j = jax.jit(jax.vmap(one_seg))
+    def pairs_program(segs_b):
+        """[B, S] windows -> packed int32 [PAIR_BUDGET + 1, 5] (row 0 =
+        count; columns window, lltr_s, lltr_e, rltr_s, rltr_e).  The
+        structural pair filters run ON DEVICE so one small fetch returns
+        only genuine candidates — the previous host loop fetched 5 full
+        [B, 256] chain arrays per batch and filtered in Python (~6 tunnel
+        round trips per batch; this stage was the slowest visible stage of
+        the round-2 driver bench at 163 s)."""
+        def one_seg(seg):
+            km = enc.kmer_codes(seg, acfg.kmer_size)
+            idx = build_index(seg, acfg.kmer_size)
+            h = pair_hsps(km, idx, k=acfg.kmer_size, stride=1, max_hits=8,
+                          diag_band=32, run_gap=96, min_seeds=4,
+                          min_hsp_len=30, max_hsps=1024, exclude_self=True)
+            return chain_hsps(h, extend_threshold=200, max_chains=256,
+                              min_len=lcfg.min_ltr_len)
+
+        ch = jax.vmap(one_seg)(segs_b)
+        B, C = ch.qs.shape
+        a, b_, c, d = ch.qs, ch.qe, ch.ss, ch.se
+        gap = c - b_
+        ltr_len = jnp.minimum(b_ - a, d - c)
+        keep = (ch.valid
+                & (c > a)                    # drop symmetric duplicates
+                & (b_ <= c)                  # overlapping pair -> tandem
+                & (ltr_len >= lcfg.min_ltr_len)
+                & (ltr_len <= lcfg.max_ltr_len)
+                & (gap >= lcfg.min_interior - 200)
+                & (gap <= lcfg.max_interior))
+        win_i = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0)
+        rows = jnp.stack([win_i, a, b_, c, d], axis=-1).reshape(-1, 5)
+        good = keep.reshape(-1)
+        (sel,) = jnp.nonzero(good, size=PAIR_BUDGET, fill_value=0)
+        n = jnp.sum(good.astype(jnp.int32))
+        body = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (PAIR_BUDGET, 1), 0) < n,
+            rows[sel], 0)
+        head = jnp.zeros((1, 5), jnp.int32).at[0, 0].set(n)
+        return jnp.concatenate([head, body])
+
+    pairs_j = jax.jit(pairs_program)
     out: List[Tuple[int, int, int, int]] = []
     seen: set = set()
     # skip (almost) fully masked segments
     live_idx = np.nonzero((segs < 4).mean(axis=1) >= 0.02)[0]
-    B = 16      # windows per dispatch (batch assembled host-side: a
-    for b0 in range(0, len(live_idx), B):   # device-side gather per batch
-        sel = live_idx[b0 : b0 + B]          # paid an extra round trip)
+    B = 32      # windows per dispatch ([32, 131072] stays under the
+    for b0 in range(0, len(live_idx), B):   # remote-compile cell budget)
+        sel = live_idx[b0 : b0 + B]
         hb = segs[sel]
         if hb.shape[0] < B:
             hb = np.pad(hb, ((0, B - hb.shape[0]), (0, 0)),
                         constant_values=4)
-        ch = one_seg_j(jnp.asarray(hb))
-        qs, qe = np.asarray(ch.qs), np.asarray(ch.qe)
-        ss, se = np.asarray(ch.ss), np.asarray(ch.se)
-        valid = np.asarray(ch.valid)
-        for bi in range(len(sel)):
-            off = int(win_starts[sel[bi]])
-            for i in np.nonzero(valid[bi])[0]:
-                a, b_, c, d = qs[bi, i], qe[bi, i], ss[bi, i], se[bi, i]
-                if c <= a:               # symmetric duplicate; keep left-first
-                    continue
-                gap = c - b_             # interior length
-                ltr_len = min(b_ - a, d - c)
-                if not (lcfg.min_ltr_len <= ltr_len <= lcfg.max_ltr_len):
-                    continue
-                if not (lcfg.min_interior - 200 <= gap <= lcfg.max_interior):
-                    continue
-                if b_ > c:               # overlapping pair -> tandem, skip
-                    continue
-                # dedup overlap-window duplicates (10bp-rounded coords,
-                # like the reference's get_integer_pos dedup)
-                key = tuple(int(x) // 10 for x in
-                            (off + a, off + b_, off + c, off + d))
-                if key in seen:
-                    continue
-                seen.add(key)
-                out.append((off + a, off + b_, off + c, off + d))
+        packed = np.asarray(pairs_j(jnp.asarray(hb)))
+        n = int(packed[0, 0])
+        if n > PAIR_BUDGET:
+            logger.warning("ltr.candidates: %d pairs exceed the %d budget; "
+                           "truncated", n, PAIR_BUDGET)
+        for wi, a, b_, c, d in packed[1 : 1 + min(n, PAIR_BUDGET)]:
+            if wi >= len(sel):
+                continue
+            off = int(win_starts[sel[wi]])
+            # dedup overlap-window duplicates (10bp-rounded coords,
+            # like the reference's get_integer_pos dedup)
+            key = tuple(int(x) // 10 for x in
+                        (off + a, off + b_, off + c, off + d))
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append((off + int(a), off + int(b_), off + int(c),
+                        off + int(d)))
     return out
 
 

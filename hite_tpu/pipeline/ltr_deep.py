@@ -217,13 +217,17 @@ def single_copy_gate(
     TE protein (TIR/Helitron transposase) inside disqualifies it outright.
 
     LTRPeps.lib is a missing blob upstream (only blast index shards exist);
-    it activates via HITE_TPU_LIBRARY_DIR like LINEPeps.  Without it the
-    protein requirement degrades to TSD + TG...CA structure only
-    (documented divergence — strictly more permissive than the reference).
+    a user copy activates via HITE_TPU_LIBRARY_DIR like LINEPeps.  Without
+    it the protein half runs on the data-free RT MOTIF GRAMMAR
+    (`domain.rt_motif_present`: [LIVM]PQG .. [YF]xDD in one reading frame
+    — the conserved pol core every LTR retroelement carries), restoring
+    the reference's TSD + intact-protein conjunction.
     """
     import os
 
-    from hite_tpu.pipeline.domain import DomainScanner, rescue_by_domain
+    from hite_tpu.pipeline.domain import (
+        DomainScanner, rescue_by_domain, rt_motif_present,
+    )
 
     singles = [i for i, c in enumerate(copy_counts) if c <= 1]
     keep = [True] * len(records)
@@ -237,10 +241,11 @@ def single_copy_gate(
     internals = [genome.extract(records[i].lltr_end, records[i].rltr_start)
                  for i in singles]
 
-    has_ltr_protein = None
     if os.path.exists(ltr_pep):
         has_ltr_protein = rescue_by_domain(
             internals, DomainScanner.from_fasta(ltr_pep))
+    else:
+        has_ltr_protein = rt_motif_present(internals)
     has_other_protein = np.zeros(len(singles), bool)
     for other in ("TIRPeps.lib", "HelitronPeps.lib"):
         path = os.path.join(data_dir, other)
@@ -259,8 +264,7 @@ def single_copy_gate(
         # the 8+3 bp end windows for a shared 4-6-mer; refine_and_filter
         # already snapped rec.tsd_len from the same +-4 bp window search)
         structured = r.tsd_len > 0
-        protein_ok = (bool(has_ltr_protein[si])
-                      if has_ltr_protein is not None else True)
+        protein_ok = bool(has_ltr_protein[si])
         if not (structured and protein_ok):
             keep[i] = False
             dropped += 1

@@ -44,6 +44,37 @@ class PanResult:
     rescued: int = 0
 
 
+def sweep_genome_copies(
+    gnames: List[str],
+    find,
+    cand_seqs: List[np.ndarray],
+    max_copies: int,
+) -> Dict[str, List[List[CopyHit]]]:
+    """Sequential per-genome copy sweep with EARLY DROP.
+
+    Mirrors the reference's cross-genome rescue loop
+    (`pan_recover_low_copy_TEs.py:326`): a candidate that has accumulated
+    >= max_copies hits across the genomes swept so far is excluded from
+    the joins against the remaining genomes — at hundreds of genomes most
+    candidates either satisfy the cap early or never will, so the join
+    width shrinks as the sweep proceeds.  `find(gname, seqs)` maps the
+    given candidate sequences against one genome.
+    """
+    out: Dict[str, List[List[CopyHit]]] = {}
+    acc = np.zeros(len(cand_seqs), np.int64)
+    active = list(range(len(cand_seqs)))
+    for gname in gnames:
+        full: List[List[CopyHit]] = [[] for _ in cand_seqs]
+        if active:
+            found = find(gname, [cand_seqs[i] for i in active])
+            for i, hits_i in zip(active, found):
+                full[i] = hits_i
+                acc[i] += len(hits_i)
+            active = [i for i in active if acc[i] < max_copies]
+        out[gname] = full
+    return out
+
+
 def run_pan_pipeline(
     genomes: Dict[str, Genome],
     cfg: PipelineConfig,
@@ -116,12 +147,18 @@ def run_pan_pipeline(
             # per-genome batched mapping of every low-copy candidate; each
             # host maps against its genome partition, then hit lists are
             # all-gathered (cross-genome copy retrieval is the natural
-            # all-gather point, SURVEY.md §7 "hard parts")
-            my_hits: Dict[str, List[List[CopyHit]]] = {}
-            for oname in mh.partition(list(genomes.keys())):
-                my_hits[oname] = finders[oname].find_copies(
-                    [it[3] for it in low_items], min_coverage=0.9,
-                    max_copies=cfg.msa.max_copies)
+            # all-gather point, SURVEY.md §7 "hard parts").
+            # EARLY-DROP (pan_recover_low_copy_TEs.py:326): a candidate
+            # that has accumulated >= max_copies across the genomes mapped
+            # so far stops being mapped against this host's remaining
+            # genomes — at hundreds of genomes most candidates either
+            # satisfy the cap early or never will, so the per-genome join
+            # width shrinks as the sweep proceeds.
+            my_hits = sweep_genome_copies(
+                mh.partition(list(genomes.keys())),
+                lambda oname, seqs: finders[oname].find_copies(
+                    seqs, min_coverage=0.9, max_copies=cfg.msa.max_copies),
+                [it[3] for it in low_items], cfg.msa.max_copies)
             per_genome_hits = mh.merge_dicts(mh.allgather_obj(my_hits))
             # type-specific re-judging (the reference re-enters the full
             # per-class MSA boundary judge, pan_recover_low_copy_TEs.py:
@@ -142,13 +179,28 @@ def run_pan_pipeline(
                     continue
                 # re-judge with copies from the home genome for the matrix
                 # (decision-level: enough pan support + clean boundaries)
-                home_hits = per_genome_hits[gname][li]
-                if len(home_hits) < 2:
-                    home_hits = [h for o in genomes
-                                 for h in per_genome_hits[o][li]
-                                 ][: cfg.msa.max_copies]
+                copies_arg = per_genome_hits[gname][li]
+                if len(copies_arg) < 2:
+                    # cross-genome fallback: extract each hit from its
+                    # OWNING genome (the hits live in other genomes'
+                    # coordinate spaces) and pass pre-extracted sequences;
+                    # the reference likewise accumulates extend-copy
+                    # sequences per genome (pan_recover_low_copy_TEs.py:
+                    # 384-396, trunc to 1000bp ends handled generically by
+                    # the engine's long_copy_trunc)
+                    from hite_tpu.io.fasta import revcomp as np_revcomp
+
+                    copies_arg = []
+                    for o in genomes:
+                        g_o = genomes[o]
+                        for h in per_genome_hits[o][li]:
+                            cs = g_o.extract(h.start, h.end,
+                                             cfg.msa.frame_flank)
+                            copies_arg.append(
+                                np_revcomp(cs) if h.strand == 1 else cs)
+                    copies_arg = copies_arg[: cfg.msa.max_copies]
                 result = adjust_candidate(
-                    genomes[gname], (s, e), home_hits, cfg.msa,
+                    genomes[gname], (s, e), copies_arg, cfg.msa,
                     judges[mtype], min_copies=2)
                 if result.accepted:
                     key = f"{gname}:rescued_{rescued}#{class_label[mtype]}"

@@ -21,8 +21,35 @@ from hite_tpu.pipeline.boundary_adjust import (
 )
 from hite_tpu.pipeline.candidates import CandidateSet
 from hite_tpu.pipeline.cluster import cluster_by_copies
-from hite_tpu.pipeline.copies import CopyFinder, GenomeIndex
+from hite_tpu.pipeline.copies import CopyFinder, CopyHit, GenomeIndex
 from hite_tpu.utils.log import logger, stage_timer
+
+
+def shift_copies(genome: Genome, copies: List[CopyHit], dl: int,
+                 dr: int) -> List[CopyHit]:
+    """Move every copy's ends by the family's boundary deltas.
+
+    A boundary round shifts the candidate interval by <= the search
+    radius, which is far inside the flank-extended frames the copies were
+    fetched with — so the round-N copies are the round-(N-1) copies with
+    the same end deltas applied (strand-mirrored), no genome re-join
+    needed.  The reference likewise fetches copies ONCE per
+    flank_region_align_v5 invocation (Util.py:8077-8137); the previous
+    implementation here re-joined the whole genome every round (~8 join
+    chunks x 3 rounds x 3 modules at 100 Mbp).
+    """
+    L = len(genome.flat)
+    out: List[CopyHit] = []
+    for h in copies:
+        if h.strand == 0:
+            s, e = h.start + dl, h.end + dr
+        else:
+            s, e = h.start - dr, h.end - dl
+        s, e = max(0, s), min(L, e)
+        if e - s >= 30:
+            out.append(CopyHit(start=s, end=e, strand=h.strand,
+                               nseeds=h.nseeds))
+    return out
 
 
 @dataclass
@@ -197,7 +224,13 @@ def verify_families(
                             st["ai"] += 1
                             begin_attempt(g)
                     else:
-                        fetch_queue.append((g, new_interval, rnd + 1))
+                        # next round reuses this round's copies with the
+                        # boundary deltas applied — no genome re-join
+                        moved = shift_copies(
+                            genome, copies,
+                            result.start - interval[0],
+                            result.end - interval[1])
+                        on_copies(g, new_interval, moved, rnd + 1)
 
         for g in ordered_members:
             st = family_state[g]

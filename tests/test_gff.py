@@ -85,3 +85,24 @@ def test_annotation_identity_is_real_alignment_identity():
     assert exact is not None and div is not None, [h.start for h in hits]
     assert exact.identity > 0.98
     assert 0.82 < div.identity < 0.95, div.identity
+
+
+def test_overlap_resolution_is_score_based():
+    """A shorter high-identity hit beats a longer diverged one at a
+    nested locus (RepeatMasker score semantics, pan_annotate_genome.py:27);
+    longest-wins would pick the diverged hit."""
+    from hite_tpu.io.gff import AnnotationHit
+    from hite_tpu.pipeline.annotate import resolve_overlaps
+
+    long_div = AnnotationHit(contig="c", start=100, end=1100, strand="+",
+                             family="old", te_class="LTR", identity=0.70)
+    short_clean = AnnotationHit(contig="c", start=400, end=800, strand="+",
+                                family="new", te_class="DNA", identity=0.99)
+    out = resolve_overlaps([long_div, short_clean])
+    assert [h.family for h in out] == ["new"]
+
+    # non-overlapping hits all survive
+    far = AnnotationHit(contig="c", start=5000, end=5400, strand="+",
+                        family="far", te_class="DNA", identity=0.9)
+    out = resolve_overlaps([long_div, far])
+    assert [h.family for h in out] == ["old", "far"]

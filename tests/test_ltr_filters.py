@@ -129,17 +129,26 @@ def test_single_copy_gate_structure_and_protein():
                                 for a in decode_protein(prot_codes)))
         bg[6_000 : 6_000 + len(nt)] = nt
 
+    # the protein half of the gate (FiLTR LTR_filter.py:702-726): plant
+    # an RT-core peptide ([LIVM]PQG .. YVDD grammar) inside with_tsd's
+    # internal region only — TSD-only candidates must now be dropped
+    rt_pep = "MA" + "LPQG" + "KTDSWPEARLVING" * 3 + "YVDD" + "ILAT"
+    rt_nt = encode_seq("".join(CODON.get(a, "GCA") for a in rt_pep))
+    bg[2_000 : 2_000 + len(rt_nt)] = rt_nt
+
     genome = Genome.from_dict({"chr1": bg})
     cfg = PipelineConfig()
     with_tsd = _rec(1000, 4000, 1000, 1300, 3700, 4000, tsd=5)
     no_tsd = _rec(11_000, 14_000, 11_000, 11_300, 13_700, 14_000, tsd=0)
     tir_inside = _rec(5_500, 9_000, 5_500, 5_800, 8_700, 9_000, tsd=5)
     multi = _rec(21_000, 24_000, 21_000, 21_300, 23_700, 24_000, tsd=0)
+    tsd_no_prot = _rec(15_000, 18_000, 15_000, 15_300, 17_700, 18_000, tsd=5)
 
-    records = [with_tsd, no_tsd, tir_inside, multi]
-    keep = single_copy_gate(genome, records, [1, 1, 1, 4], cfg)
-    assert keep[0]          # single copy + TSD structure -> kept
+    records = [with_tsd, no_tsd, tir_inside, multi, tsd_no_prot]
+    keep = single_copy_gate(genome, records, [1, 1, 1, 4, 1], cfg)
+    assert keep[0]          # single copy + TSD + RT protein -> kept
     assert not keep[1]      # single copy, no TSD -> dropped
     if has_tir_protein:
         assert not keep[2]  # other-class protein inside -> dropped
     assert keep[3]          # >=2 copies: gate does not apply
+    assert not keep[4]      # TSD but NO intact LTR protein -> dropped

@@ -178,3 +178,31 @@ def test_pan_downstream_analysis(tmp_path):
     # the gene reads must land on geneA
     tbl = open(os.path.join(out, "gene_express.table")).read()
     assert "geneA" in tbl
+
+
+def test_sweep_genome_copies_early_drop():
+    """A candidate that reaches the copy cap after the first genome is
+    excluded from the joins against later genomes
+    (pan_recover_low_copy_TEs.py:326)."""
+    from hite_tpu.pipeline.copies import CopyHit
+    from hite_tpu.pipeline.pan import sweep_genome_copies
+
+    cands = [np.zeros(100, np.uint8), np.ones(100, np.uint8)]
+    calls = []
+
+    def find(gname, seqs):
+        calls.append((gname, len(seqs)))
+        out = []
+        for s in seqs:
+            if s[0] == 0:  # candidate 0: saturates in genome A
+                out.append([CopyHit(10 * i, 10 * i + 9, 0, 5)
+                            for i in range(4)])
+            else:          # candidate 1: accumulates slowly
+                out.append([CopyHit(0, 9, 0, 5)])
+        return out
+
+    hits = sweep_genome_copies(["gA", "gB", "gC"], find, cands, max_copies=3)
+    # candidate 0 was mapped only against gA; candidate 1 against all three
+    assert calls == [("gA", 2), ("gB", 1), ("gC", 1)]
+    assert len(hits["gA"][0]) == 4 and len(hits["gB"][0]) == 0
+    assert all(len(hits[g][1]) == 1 for g in ("gA", "gB", "gC"))
