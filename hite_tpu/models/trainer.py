@@ -56,9 +56,8 @@ def label_to_class(label: str) -> Optional[int]:
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("term_mode",))
-def _features_program(mat, lens, term, tmat, tlens, dom_idx, *,
-                      term_mode: str):
+def _features_core(mat, lens, term, tmat, tlens, dom_idx, *,
+                   term_mode: str):
     """ONE fused device program per (shape, term_mode) — the eager
     per-op path paid a ~1s tunnel round trip for every jnp call
     (~30+ per batch; refine_labels + ltr.classify were 160 s of the
@@ -73,6 +72,20 @@ def _features_program(mat, lens, term, tmat, tlens, dom_idx, *,
         mat, lens, term_lens=term,
         tsd_onehot=tsd_feature(tmat, tlens),
         domain_onehot=jax.nn.one_hot(dom_idx, 29, dtype=jnp.float32))
+
+
+def _features_program(mat, lens, term, tmat, tlens, dom_idx, *,
+                      term_mode: str):
+    # executed through the explicit AOT cache: the modes differ in which
+    # inputs are unused (jit prunes unused args), and plain jit dispatch
+    # intermittently mixed up the variants' pruning metadata under
+    # compilation load ("supplied 5 buffers but compiled program
+    # expected 6") — see utils/jitcache.py
+    from hite_tpu.utils.jitcache import aot_call
+
+    return aot_call(f"features_{term_mode}",
+                    partial(_features_core, term_mode=term_mode),
+                    mat, lens, term, tmat, tlens, dom_idx)
 
 
 def build_features(

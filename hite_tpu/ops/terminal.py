@@ -38,8 +38,6 @@ class LocalAlign(NamedTuple):
     alen: jnp.ndarray     # alignment length (cells)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "match", "mismatch", "gap", "invalid_code"))
 def batched_local_align(
     a: jnp.ndarray,
     b: jnp.ndarray,
@@ -56,7 +54,44 @@ def batched_local_align(
     matches).  With `submatrix` (int32 [A, A], e.g. BLOSUM62 over amino
     acids) scores come from the matrix and `invalid_code` marks padding —
     this is the protein mode used by the blastx-replacement domain engine.
+
+    Dispatch: traced calls (inside an enclosing jit) inline the core;
+    host-level calls go through an EXPLICIT AOT executable cache keyed on
+    (shapes, dtypes, statics).  jax's jit dispatch on this function
+    intermittently raised "Execution supplied 3 buffers but compiled
+    program expected 4 buffers" after many unrelated compilations (CPU
+    backend, jax 0.9) — AOT executables take their buffers positionally
+    and cannot mis-key.
     """
+    import jax.core
+
+    kw = dict(match=match, mismatch=mismatch, gap=gap,
+              invalid_code=invalid_code)
+    if isinstance(a, jax.core.Tracer) or isinstance(b, jax.core.Tracer):
+        return _local_align_core(a, b, submatrix=submatrix, **kw)
+    from hite_tpu.utils.jitcache import aot_call
+
+    tag = f"local_align:{match},{mismatch},{gap},{invalid_code}"
+    if submatrix is None:
+        return aot_call(tag, functools.partial(
+            _local_align_core, submatrix=None, **kw), a, b)
+
+    def _core_sub(aa, bb, sub):
+        return _local_align_core(aa, bb, submatrix=sub, **kw)
+
+    return aot_call(tag + ":sub", _core_sub, a, b, jnp.asarray(submatrix))
+
+
+def _local_align_core(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    match: int = 2,
+    mismatch: int = -3,
+    gap: int = 4,
+    submatrix: jnp.ndarray | None = None,
+    invalid_code: int = 4,
+) -> LocalAlign:
     B, La = a.shape
     Lb = b.shape[1]
     a32 = a.astype(jnp.int32)
@@ -177,6 +212,8 @@ def batched_local_align(
         ss=g(best["sj"]), se=g(best["ej"]),
         matches=g(best["m"]), alen=g(best["l"]),
     )
+
+
 
 
 _PALLAS_MAX_ELEMS = 96 * 1024   # B x lane-padded-W budget (~10MB VMEM working set)

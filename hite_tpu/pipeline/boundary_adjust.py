@@ -203,28 +203,35 @@ def analyze_families_batched(
     """Bucketed batched analysis of many families in few device calls."""
     preps = [_prep_family(genome, iv, cp, cfg) for iv, cp in items]
     out: List[Optional[Tuple[FamilyAnalysis, int]]] = [None] * len(items)
+    # ONE batch per trunc mode: long_copy_trunc caps every frame width at
+    # the 1024 bucket, so families pad to the group's (max R, max width)
+    # instead of fragmenting into per-(R, width) buckets — each bucket
+    # was a separate device dispatch (~2 tunnel round trips), and bucket
+    # fragmentation dominated the boundary_adjust stage wall-clock
     buckets: dict = {}
     for i, p in enumerate(preps):
-        # (R_bucket, width, trunc_at)
-        buckets.setdefault((p[7], p[6], p[8]), []).append(i)
-    for (rb, width, trunc_at), idxs in buckets.items():
+        buckets.setdefault(p[8], []).append(i)   # trunc_at
+    for trunc_at, idxs in buckets.items():
         # family dim padded to pow2: an unpadded F recompiles the analyze
         # program for EVERY distinct bucket occupancy — at 775 families on
         # the 100 Mbp run this was a compile storm (~1 remote compile per
         # 2-4 min, tens of variants), not an execution cost
         F = len(idxs)
         Fp = max(4, 1 << (F - 1).bit_length())
-        centers = np.full((Fp,) + preps[idxs[0]][0].shape, 4, np.uint8)
-        mats = np.full((Fp,) + preps[idxs[0]][1].shape, 4, np.uint8)
-        lens = np.zeros((Fp,) + preps[idxs[0]][2].shape, np.int32)
+        rb = max(preps[i][7] for i in idxs)
+        width = max(preps[i][6] for i in idxs)
+        centers = np.full((Fp, width), 4, np.uint8)
+        mats = np.full((Fp, rb, width), 4, np.uint8)
+        lens = np.zeros((Fp, rb), np.int32)
         al = np.zeros(Fp, np.int32)
         ar = np.zeros(Fp, np.int32)
         for b, i in enumerate(idxs):
-            centers[b] = preps[i][0]
-            mats[b] = preps[i][1]
-            lens[b] = preps[i][2]
-            al[b] = preps[i][3]
-            ar[b] = preps[i][4]
+            p = preps[i]
+            centers[b, : p[6]] = p[0]
+            mats[b, : p[7], : p[6]] = p[1]
+            lens[b, : p[7]] = p[2]
+            al[b] = p[3]
+            ar[b] = p[4]
         M, homo, cons, left, right = _analyze_batch(
             jnp.asarray(centers), jnp.asarray(mats), jnp.asarray(lens),
             jnp.asarray(al), jnp.asarray(ar), trunc_at=trunc_at)

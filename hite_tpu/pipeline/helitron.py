@@ -215,14 +215,14 @@ def eahelitron_gate(
     return np.array(out, np.int64).reshape(-1, 2)
 
 
-def run_helitron_detection(
+def gate_helitron(
     genome: Genome,
     coarse_intervals: np.ndarray,
     cfg: PipelineConfig,
-    gindex: Optional[GenomeIndex] = None,
-) -> ModuleResult:
+) -> np.ndarray:
+    """Helitron gating phase: tandem filter + LCV (+EAHelitron) gates."""
     if len(coarse_intervals) == 0:
-        return empty_result()
+        return np.zeros((0, 2), np.int64)
 
     with stage_timer("helitron.tandem_filter"):
         seqs = [genome.extract(s, e) for s, e in coarse_intervals]
@@ -242,6 +242,21 @@ def run_helitron_detection(
         if len(ea):
             from hite_tpu.utils import intervals as iv
             gated, _ = iv.dedup(np.concatenate([gated, ea]), q=10)
+    return gated
+
+
+def run_helitron_detection(
+    genome: Genome,
+    coarse_intervals: np.ndarray,
+    cfg: PipelineConfig,
+    gindex: Optional[GenomeIndex] = None,
+    gated: Optional[np.ndarray] = None,
+    plan=None,
+    rep_copy_sets=None,
+) -> ModuleResult:
+    if gated is None:
+        gated = gate_helitron(genome, coarse_intervals, cfg)
     return verify_families(
         genome, gated, cfg, make_helitron_judge(),
-        min_copies=cfg.msa.min_copy_helitron, stage="helitron", gindex=gindex)
+        min_copies=cfg.msa.min_copy_helitron, stage="helitron",
+        gindex=gindex, plan=plan, rep_copy_sets=rep_copy_sets)

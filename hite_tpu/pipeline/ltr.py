@@ -98,89 +98,68 @@ def ltr_pair_candidates(
 ) -> List[Tuple[int, int, int, int]]:
     """Self-alignment LTR-pair candidates: (lltr_s, lltr_e, rltr_s, rltr_e).
 
-    Tiles OVERLAP by the maximum element span (2*max_ltr_len +
-    max_interior) so an element straddling a tile border is always fully
-    contained in some tile — the reference's LtrDetector scans whole
-    chromosomes in 10 Mb chunks with a position map
-    (bin/FiLTR-main/main.py:135-156); disjoint tiles would make boundary
-    elements unfindable.  Duplicate pairs from the overlap dedup here.
+    LtrDetector's k-mer distance-to-next-occurrence profile
+    (bin/FiLTR-main/bin/LtrDetector/src/tr/*) is, on a TPU, exactly the
+    whole-genome SELFJOIN the coarse stage already runs: sorted k-mer
+    runs pair each occurrence with its next few occurrences, and a pair
+    whose offset lies in the element-size window is an LTR-pair seed.
+    One selfjoin (two device sorts, the same compiled programs as the
+    coarse stage) + host FMEA chaining replaces the previous per-window
+    batched self-alignment, which re-paid the full seed->HSP->chain
+    kernel on ~78 overlapping 131 kb windows at 8 Mbp (~32 s of device
+    compute; this is ~4 s).  Genomes past the selfjoin HBM cap run as
+    overlapping chunks (halo = max element span) with 10 bp-rounded
+    dedup, like the reference's 10 Mb chromosome chunking
+    (bin/FiLTR-main/main.py:135-156).
     """
+    import jax
+
+    from hite_tpu.ops.chain import chain_hsps_host
+    from hite_tpu.ops.selfjoin import selfjoin_scan_packed, selfjoin_sorted
+
     lcfg = cfg.ltr
     acfg = cfg.align
-    src = (genome.masked if (use_masked and genome.masked is not None)
-           else genome.flat)
+    flat_d, L = genome.device_flat_padded(use_masked)
+    Lp = int(flat_d.shape[0])
     halo = 2 * lcfg.max_ltr_len + lcfg.max_interior
-    step = max(seg_len - halo, seg_len // 4)
-    win_starts = np.arange(0, max(len(src) - halo, 1), step, dtype=np.int64)
-    segs = np.full((len(win_starts), seg_len), 4, np.uint8)
-    for wi, w0 in enumerate(win_starts):
-        chunk = src[w0 : w0 + seg_len]
-        segs[wi, : len(chunk)] = chunk
-    PAIR_BUDGET = 4096
-
-    def pairs_program(segs_b):
-        """[B, S] windows -> packed int32 [PAIR_BUDGET + 1, 5] (row 0 =
-        count; columns window, lltr_s, lltr_e, rltr_s, rltr_e).  The
-        structural pair filters run ON DEVICE so one small fetch returns
-        only genuine candidates — the previous host loop fetched 5 full
-        [B, 256] chain arrays per batch and filtered in Python (~6 tunnel
-        round trips per batch; this stage was the slowest visible stage of
-        the round-2 driver bench at 163 s)."""
-        def one_seg(seg):
-            km = enc.kmer_codes(seg, acfg.kmer_size)
-            idx = build_index(seg, acfg.kmer_size)
-            h = pair_hsps(km, idx, k=acfg.kmer_size, stride=1, max_hits=8,
-                          diag_band=32, run_gap=96, min_seeds=4,
-                          min_hsp_len=30, max_hsps=1024, exclude_self=True)
-            return chain_hsps(h, extend_threshold=200, max_chains=256,
-                              min_len=lcfg.min_ltr_len)
-
-        ch = jax.vmap(one_seg)(segs_b)
-        B, C = ch.qs.shape
-        a, b_, c, d = ch.qs, ch.qe, ch.ss, ch.se
-        gap = c - b_
-        ltr_len = jnp.minimum(b_ - a, d - c)
-        keep = (ch.valid
-                & (c > a)                    # drop symmetric duplicates
-                & (b_ <= c)                  # overlapping pair -> tandem
-                & (ltr_len >= lcfg.min_ltr_len)
-                & (ltr_len <= lcfg.max_ltr_len)
-                & (gap >= lcfg.min_interior - 200)
-                & (gap <= lcfg.max_interior))
-        win_i = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0)
-        rows = jnp.stack([win_i, a, b_, c, d], axis=-1).reshape(-1, 5)
-        good = keep.reshape(-1)
-        (sel,) = jnp.nonzero(good, size=PAIR_BUDGET, fill_value=0)
-        n = jnp.sum(good.astype(jnp.int32))
-        body = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (PAIR_BUDGET, 1), 0) < n,
-            rows[sel], 0)
-        head = jnp.zeros((1, 5), jnp.int32).at[0, 0].set(n)
-        return jnp.concatenate([head, body])
-
-    pairs_j = jax.jit(pairs_program)
     out: List[Tuple[int, int, int, int]] = []
     seen: set = set()
-    # skip (almost) fully masked segments
-    live_idx = np.nonzero((segs < 4).mean(axis=1) >= 0.02)[0]
-    B = 32      # windows per dispatch ([32, 131072] stays under the
-    for b0 in range(0, len(live_idx), B):   # remote-compile cell budget)
-        sel = live_idx[b0 : b0 + B]
-        hb = segs[sel]
-        if hb.shape[0] < B:
-            hb = np.pad(hb, ((0, B - hb.shape[0]), (0, 0)),
-                        constant_values=4)
-        packed = np.asarray(pairs_j(jnp.asarray(hb)))
-        n = int(packed[0, 0])
-        if n > PAIR_BUDGET:
-            logger.warning("ltr.candidates: %d pairs exceed the %d budget; "
-                           "truncated", n, PAIR_BUDGET)
-        for wi, a, b_, c, d in packed[1 : 1 + min(n, PAIR_BUDGET)]:
-            if wi >= len(sel):
+
+    def one_chunk(chunk_d, off: int, Cl: int) -> None:
+        s_dbin, s_qpos, s_spos, n_pairs_d = selfjoin_sorted(
+            chunk_d, k=acfg.kmer_size, window=4, diag_band=32)
+        n_pairs = int(n_pairs_d)
+        budget = 1 << 20
+        need = -(-max(n_pairs, 1) // budget)
+        slices = 1 if need <= 1 else 1 << (need - 1).bit_length()
+        slices = min(slices, 64)
+        packed = np.asarray(selfjoin_scan_packed(
+            s_dbin, s_qpos, s_spos, n_pairs_d, k=acfg.kmer_size,
+            run_gap=96, min_seeds=4, min_hsp_len=30, max_hsps=32_768,
+            max_seed_pairs=budget, budget_slices=slices))
+        qs, qe, ss, se = (packed[i].astype(np.int64) for i in range(4))
+        valid = packed[4].astype(bool)
+        # forward-strand HSPs whose offset lies in the element-size window
+        m = valid & (ss < Cl) & (ss > qs)
+        offd = ss - qs
+        m &= (offd >= lcfg.min_ltr_len + lcfg.min_interior - 400)
+        m &= offd <= halo
+        if not m.any():
+            return
+        ch = chain_hsps_host(qs[m], qe[m], ss[m], se[m],
+                             extend_threshold=200,
+                             min_len=lcfg.min_ltr_len)
+        for a, b_, c, d in ch:
+            gap = c - b_                 # interior length
+            ltr_len = min(b_ - a, d - c)
+            if not (lcfg.min_ltr_len <= ltr_len <= lcfg.max_ltr_len):
                 continue
-            off = int(win_starts[sel[wi]])
-            # dedup overlap-window duplicates (10bp-rounded coords,
-            # like the reference's get_integer_pos dedup)
+            if not (lcfg.min_interior - 200 <= gap <= lcfg.max_interior):
+                continue
+            if b_ > c:                   # overlapping pair -> tandem
+                continue
+            # 10bp-rounded dedup (reference get_integer_pos; also folds
+            # chunk-overlap duplicates)
             key = tuple(int(x) // 10 for x in
                         (off + a, off + b_, off + c, off + d))
             if key in seen:
@@ -188,6 +167,19 @@ def ltr_pair_candidates(
             seen.add(key)
             out.append((off + int(a), off + int(b_), off + int(c),
                         off + int(d)))
+
+    cap = 1 << 26
+    if Lp <= cap:
+        one_chunk(flat_d, 0, Lp)
+    else:
+        from hite_tpu.pipeline.coarse import _chunk_grid
+
+        @jax.jit
+        def _slice(c0):
+            return jax.lax.dynamic_slice(flat_d, (c0,), (cap,))
+
+        for c0 in _chunk_grid(L, cap, halo):
+            one_chunk(_slice(jnp.int32(c0)), c0, cap)
     return out
 
 

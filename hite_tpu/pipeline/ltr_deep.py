@@ -413,6 +413,7 @@ def cross_class_filter(
     genome: Genome,
     records: Sequence[LTRRecord],
     cfg: PipelineConfig,
+    gindex: Optional[GenomeIndex] = None,
 ) -> Tuple[List[LTRRecord], Dict[str, List[np.ndarray]]]:
     """FiLTR's TIR/Helitron/SINE cross-class filters.
 
@@ -439,7 +440,7 @@ def cross_class_filter(
                        np.int64)
     routed: Dict[int, str] = {}
 
-    gindex = GenomeIndex(genome, cfg.align)
+    gindex = gindex or GenomeIndex(genome, cfg.align)
     finder = CopyFinder(gindex)
 
     def rejudge(idxs: List[int], judge, min_copies: int) -> List[int]:

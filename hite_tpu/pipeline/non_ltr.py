@@ -118,14 +118,14 @@ def tail_gate(
     return intervals[has_tail]
 
 
-def run_non_ltr_detection(
+def gate_non_ltr(
     genome: Genome,
     coarse_intervals: np.ndarray,
     cfg: PipelineConfig,
-    gindex: Optional[GenomeIndex] = None,
-) -> ModuleResult:
+) -> np.ndarray:
+    """Non-LTR gating phase: tandem filter + length/tail gate."""
     if len(coarse_intervals) == 0:
-        return empty_result()
+        return np.zeros((0, 2), np.int64)
 
     with stage_timer("non_ltr.tandem_filter"):
         seqs = [genome.extract(s, e) for s, e in coarse_intervals]
@@ -138,9 +138,24 @@ def run_non_ltr_detection(
         gated = tail_gate(genome, coarse_intervals, cfg)
     logger.info("non_ltr: %d/%d candidates pass length+tail gate",
                 len(gated), len(coarse_intervals))
+    return gated
+
+
+def run_non_ltr_detection(
+    genome: Genome,
+    coarse_intervals: np.ndarray,
+    cfg: PipelineConfig,
+    gindex: Optional[GenomeIndex] = None,
+    gated: Optional[np.ndarray] = None,
+    plan=None,
+    rep_copy_sets=None,
+) -> ModuleResult:
+    if gated is None:
+        gated = gate_non_ltr(genome, coarse_intervals, cfg)
     result = verify_families(
         genome, gated, cfg, make_nonltr_judge(cfg),
-        min_copies=cfg.msa.min_copy_tir, stage="non_ltr", gindex=gindex)
+        min_copies=cfg.msa.min_copy_tir, stage="non_ltr", gindex=gindex,
+        plan=plan, rep_copy_sets=rep_copy_sets)
     # label SINE vs LINE by final length
     if len(result.accepted):
         lens = result.accepted.lengths

@@ -257,22 +257,53 @@ def run_pipeline(
     with stage_timer("pipeline.gindex"):
         gindex = GenomeIndex(genome, cfg.align, seg_len=params.seg_len)
 
-    tir = helitron = non_ltr = None
-    found_intervals = []
-    if want("tir"):
-        tir = ckpt.run("tir",
-                       lambda: run_tir_detection(genome, coarse, cfg, gindex))
-        found_intervals.append(tir.accepted.intervals)
-    if want("helitron"):
-        helitron = ckpt.run(
-            "helitron",
-            lambda: run_helitron_detection(genome, coarse, cfg, gindex))
-        found_intervals.append(helitron.accepted.intervals)
-    if want("non-ltr") and cfg.is_denovo_nonltr:
-        non_ltr = ckpt.run(
-            "non_ltr",
-            lambda: run_non_ltr_detection(genome, coarse, cfg, gindex))
-        found_intervals.append(non_ltr.accepted.intervals)
+    def _modules_stage():
+        """Gate all three copy-verified modules first, then fetch EVERY
+        module's family-representative copies in ONE whole-genome join
+        (the reference pays one full minimap2 pass per module;
+        judge_TIR/Helitron/Non_LTR_transposons.py each call
+        get_full_length_copies separately)."""
+        from hite_tpu.pipeline.copies import CopyFinder
+        from hite_tpu.pipeline.helitron import gate_helitron
+        from hite_tpu.pipeline.non_ltr import gate_non_ltr
+        from hite_tpu.pipeline.tir import gate_tir
+        from hite_tpu.pipeline.verify import prepare_families
+
+        gates = {}
+        if want("tir"):
+            gates["tir"] = gate_tir(genome, coarse, cfg)
+        if want("helitron"):
+            gates["helitron"] = gate_helitron(genome, coarse, cfg)
+        if want("non-ltr") and cfg.is_denovo_nonltr:
+            gates["non_ltr"] = gate_non_ltr(genome, coarse, cfg)
+
+        plans = {k: prepare_families(genome, g, cfg)
+                 for k, g in gates.items() if len(g)}
+        union = [(k, i) for k, pl in plans.items() for i in pl.rep_idx]
+        per_mod: Dict[str, list] = {k: [] for k in plans}
+        if union:
+            with stage_timer("modules.copies"):
+                sets = CopyFinder(gindex).find_copies(
+                    [plans[k].seqs[i] for k, i in union],
+                    min_coverage=0.9, max_copies=cfg.msa.max_copies)
+            for (k, _i), cs in zip(union, sets):
+                per_mod[k].append(cs)
+
+        runners = {"tir": run_tir_detection,
+                   "helitron": run_helitron_detection,
+                   "non_ltr": run_non_ltr_detection}
+        out = {}
+        for k, g in gates.items():
+            out[k] = runners[k](genome, coarse, cfg, gindex, gated=g,
+                                plan=plans.get(k),
+                                rep_copy_sets=per_mod.get(k))
+        return out
+
+    modules = ckpt.run("modules", _modules_stage)
+    tir = modules.get("tir")
+    helitron = modules.get("helitron")
+    non_ltr = modules.get("non_ltr")
+    found_intervals = [m.accepted.intervals for m in modules.values()]
 
     # stage 2b: low-copy structural/domain rescue — candidates with too few
     # copies survive when they carry a >=95%-intact TE protein domain
@@ -323,7 +354,7 @@ def run_pipeline(
             # re-route their terminals to the TIR/Helitron/SINE libraries
             # (LTR_filter.py:175-200 -> confident_*_from_ltr.fa)
             from hite_tpu.pipeline.ltr_deep import cross_class_filter
-            kept, pools = cross_class_filter(genome, kept, cfg)
+            kept, pools = cross_class_filter(genome, kept, cfg, gindex)
             res = LTRResult(records=kept, cross_class=pools)
             # NeuralTE-equivalent superfamily call on the intact elements
             # (judge_LTR_transposons.py:251-264)

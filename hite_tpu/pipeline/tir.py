@@ -240,16 +240,14 @@ def structural_gate(
             np.array(kept, np.int64))
 
 
-def run_tir_detection(
+def gate_tir(
     genome: Genome,
     coarse_intervals: np.ndarray,
     cfg: PipelineConfig,
-    gindex: Optional[GenomeIndex] = None,
-) -> ModuleResult:
-    """Full TIR module: gate -> cluster -> iterate boundary adjustment."""
+) -> np.ndarray:
+    """TIR gating phase: tandem filter + TSD/ITR structural gate."""
     if len(coarse_intervals) == 0:
-        return empty_result()
-
+        return np.zeros((0, 2), np.int64)
     with stage_timer("tir.tandem_filter"):
         seqs = [genome.extract(s, e) for s, e in coarse_intervals]
         mat, lens = pad_seqs(seqs, n_rows=pad_rows(len(seqs)))
@@ -261,6 +259,22 @@ def run_tir_detection(
         gated, kept = structural_gate(genome, coarse_intervals, cfg)
     logger.info("tir: %d/%d candidates pass TSD+ITR gate",
                 len(gated), len(coarse_intervals))
+    return gated
+
+
+def run_tir_detection(
+    genome: Genome,
+    coarse_intervals: np.ndarray,
+    cfg: PipelineConfig,
+    gindex: Optional[GenomeIndex] = None,
+    gated: Optional[np.ndarray] = None,
+    plan=None,
+    rep_copy_sets=None,
+) -> ModuleResult:
+    """Full TIR module: gate -> cluster -> iterate boundary adjustment."""
+    if gated is None:
+        gated = gate_tir(genome, coarse_intervals, cfg)
     return verify_families(
         genome, gated, cfg, make_tir_judge(cfg.plant),
-        min_copies=cfg.msa.min_copy_tir, stage="tir", gindex=gindex)
+        min_copies=cfg.msa.min_copy_tir, stage="tir", gindex=gindex,
+        plan=plan, rep_copy_sets=rep_copy_sets)

@@ -67,28 +67,32 @@ def empty_result() -> ModuleResult:
     return ModuleResult(accepted=empty, consensus=[], low_copy=empty)
 
 
-def verify_families(
-    genome: Genome,
-    gated: np.ndarray,
-    cfg: PipelineConfig,
-    judge: Judge,
-    *,
-    min_copies: int,
-    stage: str,
-    gindex: Optional[GenomeIndex] = None,
-    min_coverage: float = 0.9,
-) -> ModuleResult:
-    """Run the shared verification pipeline on gated candidate intervals."""
-    if len(gated) == 0:
-        return empty_result()
-    gindex = gindex or GenomeIndex(genome, cfg.align)
-    finder = CopyFinder(gindex)
+@dataclass
+class VerifyPlan:
+    """Phase-1 output of verify_families: gated seqs + family reps.
 
-    # Pre-cluster candidates by sequence similarity BEFORE copy retrieval
-    # (the reference's cd-hit-est step, judge_TIR_transposons.py:87-89):
-    # only one representative per similarity group enters the whole-genome
-    # join — near-identical candidates (per-copy intervals of one family)
-    # would otherwise each pay a full-genome sort as separate join waves.
+    Lets the pipeline batch SEVERAL modules' representatives into ONE
+    whole-genome copy-retrieval join (`run.py` gates TIR/Helitron/non-LTR
+    first, joins the union, then finishes each module) — the reference
+    pays one full minimap2 pass per module instead."""
+
+    gated: np.ndarray
+    seqs: List[np.ndarray]
+    sim_groups: List[int]
+    group_members: dict
+    rep_idx: List[int]
+
+
+def prepare_families(genome: Genome, gated: np.ndarray,
+                     cfg: PipelineConfig) -> VerifyPlan:
+    """Phase 1: similarity pre-cluster + representative selection.
+
+    Pre-clusters candidates by sequence similarity BEFORE copy retrieval
+    (the reference's cd-hit-est step, judge_TIR_transposons.py:87-89):
+    only one representative per similarity group enters the whole-genome
+    join — near-identical candidates (per-copy intervals of one family)
+    would otherwise each pay a full-genome sort as separate join waves.
+    """
     from hite_tpu.pipeline.copies import _kmer_sketch_groups
 
     seqs = [genome.extract(s, e) for s, e in gated]
@@ -112,12 +116,45 @@ def verify_families(
 
     rep_of_group = {g: _median_member(idxs)
                     for g, idxs in group_members.items()}
-    rep_idx = sorted(rep_of_group.values())
+    return VerifyPlan(gated=gated, seqs=seqs, sim_groups=sim_groups,
+                      group_members=group_members,
+                      rep_idx=sorted(rep_of_group.values()))
 
-    with stage_timer(f"{stage}.copies"):
-        rep_copy_sets = finder.find_copies(
-            [seqs[i] for i in rep_idx],
-            min_coverage=min_coverage, max_copies=cfg.msa.max_copies)
+
+def verify_families(
+    genome: Genome,
+    gated: np.ndarray,
+    cfg: PipelineConfig,
+    judge: Judge,
+    *,
+    min_copies: int,
+    stage: str,
+    gindex: Optional[GenomeIndex] = None,
+    min_coverage: float = 0.9,
+    plan: Optional[VerifyPlan] = None,
+    rep_copy_sets: Optional[List[List[CopyHit]]] = None,
+) -> ModuleResult:
+    """Run the shared verification pipeline on gated candidate intervals.
+
+    `plan` + `rep_copy_sets` inject phase-1 results whose representative
+    copies were fetched in a shared multi-module join (see VerifyPlan)."""
+    if len(gated) == 0:
+        return empty_result()
+    gindex = gindex or GenomeIndex(genome, cfg.align)
+    finder = CopyFinder(gindex)
+
+    if plan is None:
+        plan = prepare_families(genome, gated, cfg)
+    seqs = plan.seqs
+    sim_groups = plan.sim_groups
+    group_members = plan.group_members
+    rep_idx = plan.rep_idx
+
+    if rep_copy_sets is None:
+        with stage_timer(f"{stage}.copies"):
+            rep_copy_sets = finder.find_copies(
+                [seqs[i] for i in rep_idx],
+                min_coverage=min_coverage, max_copies=cfg.msa.max_copies)
     copy_sets: dict = dict(zip(rep_idx, rep_copy_sets))
 
     groups = cluster_by_copies(rep_copy_sets)
