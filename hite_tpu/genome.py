@@ -129,9 +129,14 @@ class Genome:
 
         Cached: the genome upload over the axon tunnel costs a round trip
         plus bandwidth on every kernel call otherwise (the masked variant
-        is invalidated by mask_intervals).  Returns (device uint8 [Lp],
-        true length L)."""
+        is invalidated by mask_intervals).  The upload ships 2-BIT PACKED
+        bytes (+ N bitmask) and unpacks with one device program
+        (`ops.pack2`) — 3 bits/bp instead of 8, which matters because
+        every module's progressive mask_intervals re-uploads the masked
+        genome.  Returns (device uint8 [Lp], true length L)."""
         import jax.numpy as jnp
+
+        from hite_tpu.ops.pack2 import pack_codes, unpack_device
 
         src = (self.masked if (use_masked and self.masked is not None)
                else self.flat)
@@ -142,7 +147,8 @@ class Genome:
             Lp = max(65_536, 1 << (L - 1).bit_length())
             buf = np.full(Lp, CODE_N, dtype=np.uint8)
             buf[:L] = src
-            ent = jnp.asarray(buf)
+            packed, nmask, _ = pack_codes(buf)
+            ent = unpack_device(jnp.asarray(packed), jnp.asarray(nmask))
             self._device_cache[key] = ent
         return ent, L
 

@@ -85,12 +85,17 @@ def locate_termini(seqs: jnp.ndarray, lens: jnp.ndarray,
     Here both scans are one batched SW each; rows where neither scan
     finds a terminal fall back to 50 bp.
     """
-    from hite_tpu.ops.terminal import find_terminal_repeat
+    # the CORE (un-jitted) scan: locate_termini always runs inside a
+    # jitted feature program, and a nested pjit boundary triggers the
+    # hoisted-const dispatch bug (utils/jitcache.py)
+    from hite_tpu.ops.terminal import find_terminal_repeat_core
 
-    ltr = find_terminal_repeat(seqs, lens, inverted=False, window=ltr_window,
-                               min_identity=0.85, min_len=50)
-    itr = find_terminal_repeat(seqs, lens, inverted=True, window=itr_window,
-                               min_identity=0.7, min_len=7)
+    ltr = find_terminal_repeat_core(
+        seqs, lens, inverted=False, window=ltr_window,
+        min_identity=0.85, min_len=50)
+    itr = find_terminal_repeat_core(
+        seqs, lens, inverted=True, window=itr_window,
+        min_identity=0.7, min_len=7)
     term = jnp.where(ltr.found, ltr.length,
                      jnp.where(itr.found, itr.length, 50))
     return term.astype(jnp.int32)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from hite_tpu.ops.seedext import HSPs
 
-INT32_MAX = jnp.int32(2**31 - 1)
+INT32_MAX = 2**31 - 1   # plain int, not a jnp scalar (terminal.NEG)
 
 
 class Chains(NamedTuple):

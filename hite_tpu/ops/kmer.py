@@ -17,7 +17,7 @@ from hite_tpu.ops.encode import kmer_codes
 
 # Sentinel for masked/N k-mers inside an index: sorts after every real code
 # (real codes < 4^15 < 2^30) and never equals a query code.
-INVALID_CODE = jnp.int32(2**31 - 1)
+INVALID_CODE = 2**31 - 1   # plain int, not a jnp scalar (terminal.NEG)
 
 
 BUCKET_BASES = 8          # first-level direct-address prefix (4^8 buckets)

@@ -50,7 +50,7 @@ import jax.numpy as jnp
 
 from hite_tpu.ops.encode import kmer_codes, revcomp
 
-INT32_MAX = jnp.int32(2**31 - 1)
+INT32_MAX = 2**31 - 1   # plain int, not a jnp scalar (terminal.NEG)
 
 
 def _pow2_ceil(n: int) -> int:

@@ -36,8 +36,9 @@ import jax.numpy as jnp
 from hite_tpu.ops.encode import kmer_codes
 from hite_tpu.ops.kmer import build_index, lookup
 
-GAP = jnp.uint8(5)
-INT32_MAX = jnp.int32(2**31 - 1)
+# plain Python ints, NOT jnp scalars (see ops/terminal.NEG)
+GAP = 5
+INT32_MAX = 2**31 - 1
 
 
 def _mode_of_valid(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

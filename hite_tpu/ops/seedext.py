@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from hite_tpu.ops.kmer import KmerIndex, lookup
 
-INT32_MAX = jnp.int32(2**31 - 1)
+INT32_MAX = 2**31 - 1   # plain int, not a jnp scalar (terminal.NEG)
 
 
 def _segment_fill(values: jnp.ndarray, brk: jnp.ndarray) -> jnp.ndarray:

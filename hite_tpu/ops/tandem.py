@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from hite_tpu.ops.encode import kmer_codes
 
-_INT32_MAX = jnp.int32(2**31 - 1)
+_INT32_MAX = 2**31 - 1   # plain int, not a jnp scalar (terminal.NEG)
 
 
 def _box_density(x: jnp.ndarray, window: int) -> jnp.ndarray:

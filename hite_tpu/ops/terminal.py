@@ -23,7 +23,11 @@ import jax.numpy as jnp
 
 from hite_tpu.ops.encode import revcomp
 
-NEG = jnp.int32(-(10**9))
+# plain Python int, NOT jnp.int32(...): a module-level CONCRETE jax
+# array closed over by traces becomes a jaxpr const, and this jax
+# build hoists repeated (by id) consts as phantom executable args that
+# the dispatch fastpath then drops (see utils/jitcache.py)
+NEG = -(10**9)
 
 
 class LocalAlign(NamedTuple):
@@ -287,9 +291,7 @@ def _end_windows(seqs: jnp.ndarray, lens: jnp.ndarray, window: int):
     return left, right, jnp.maximum(ridx[:, 0], 0)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "inverted", "window", "min_identity", "min_len"))
-def find_terminal_repeat(
+def find_terminal_repeat_core(
     seqs: jnp.ndarray,
     lens: jnp.ndarray,
     *,
@@ -326,3 +328,13 @@ def find_terminal_repeat(
         right_start=r_start, right_end=r_end,
         identity=identity, length=length,
     )
+
+
+# Public jitted entry point.  Call find_terminal_repeat_core when already
+# inside a jit trace: a NESTED pjit boundary is what triggers this jax
+# build's hoisted-const dispatch bug (see utils/jitcache.py) — the second
+# lowered variant of the inner function gains a phantom scalar argument
+# that repeat dispatches of the OUTER program then fail to supply.
+find_terminal_repeat = functools.partial(jax.jit, static_argnames=(
+    "inverted", "window", "min_identity", "min_len"))(
+        find_terminal_repeat_core)

@@ -223,19 +223,26 @@ def run_pipeline(
 
     # stage 0a: redundant-contig removal (reference genome_clean.py run
     # before everything at main.py:435-441); contigs >=95% covered by a
-    # longer contig never enter discovery.  Only swaps the genome object
-    # when something was actually dropped (keeps device caches otherwise).
+    # longer contig never enter discovery.  Like the reference, surviving
+    # contigs are RENAMED Chr1..ChrN (genome_clean.py:87-93) and the
+    # original-name map is kept for output parity (contig_name.map).
+    name_map: Dict[str, str] = {}
     if cfg.clean_genome and len(genome.names) > 1:
         from hite_tpu.pipeline.clean import clean_genome
 
         with stage_timer("pipeline.clean"):
-            cleaned, _name_map = clean_genome(genome.to_dict(), cfg,
-                                              rename=False)
+            cleaned, name_map = clean_genome(genome.to_dict(), cfg,
+                                             rename=True)
         if len(cleaned.names) < len(genome.names):
             logger.info("pipeline: genome_clean dropped %d of %d contigs",
                         len(genome.names) - len(cleaned.names),
                         len(genome.names))
-            genome = cleaned
+        genome = cleaned
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, "contig_name.map"), "w") as fh:
+                for old, new in name_map.items():
+                    fh.write(f"{new}\t{old}\n")
 
     # stage 0b: curated-library homology (masks strong hits first, like the
     # reference's --curated_lib pre-mask + judge_Other stage)

@@ -45,10 +45,14 @@ def aot_call(tag: str, fn: Callable, *args):
     exe, const_args = ent
     try:
         return exe(*const_args, *args)
-    except (TypeError, ValueError):
+    except (TypeError, ValueError) as e:
         # the re-lowering hoisted an arg it did not record in const_args
         # (observed: MLIR main gains a tensor<i32> while const_args stays
         # empty).  A FRESH jit object's first call takes the Python slow
         # path, which threads every implicit argument correctly.
+        from hite_tpu.utils.log import logger
+
+        logger.warning("aot_call(%s): executable call failed (%s); "
+                       "falling back to a fresh jit", tag, e)
         _CACHE.pop(key, None)
         return jax.jit(fn)(*args)

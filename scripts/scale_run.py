@@ -65,7 +65,7 @@ def main() -> None:
 
     from hite_tpu.ops.tandem import long_tandem_mask, tandem_mask
 
-    warm = jnp.asarray(_np.zeros((16, 131_072), _np.uint8))
+    warm = jnp.asarray(_np.zeros((16, 262_144), _np.uint8))
     _np.asarray(jax.jit(lambda d: tandem_mask(d) | long_tandem_mask(d))(warm))
 
     cfg = PipelineConfig(annotate=True,
