@@ -211,7 +211,19 @@ def analyze_families_batched(
     buckets: dict = {}
     for i, p in enumerate(preps):
         buckets.setdefault(p[8], []).append(i)   # trunc_at
+    # cap families per dispatch so F x R x W stays <= 2^23 cells: larger
+    # programs stall (or kill) the remote compile helper — 700 TIR
+    # families at 100 Mbp once built ONE [1024, 128, 1024] program that
+    # never came back.  [64, 128, 1024] (= 2^23) is the largest shape
+    # verified to compile and run on the chip.
+    capped = []
     for trunc_at, idxs in buckets.items():
+        rb = max(preps[i][7] for i in idxs)
+        width = max(preps[i][6] for i in idxs)
+        cap = max(8, (1 << 23) // max(rb * width, 1))
+        for b0 in range(0, len(idxs), cap):
+            capped.append((trunc_at, idxs[b0 : b0 + cap]))
+    for trunc_at, idxs in capped:
         # family dim padded to pow2: an unpadded F recompiles the analyze
         # program for EVERY distinct bucket occupancy — at 775 families on
         # the 100 Mbp run this was a compile storm (~1 remote compile per

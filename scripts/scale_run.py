@@ -16,6 +16,8 @@ Run alone (the axon tunnel serializes TPU clients):
 from __future__ import annotations
 
 import argparse
+import faulthandler
+import signal
 import json
 import os
 import resource
@@ -26,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    faulthandler.register(signal.SIGUSR1)   # kill -USR1 <pid> dumps stacks
     ap = argparse.ArgumentParser()
     ap.add_argument("--mbp", type=int, default=100)
     ap.add_argument("--out", default="/tmp/hite_scale_out")
@@ -68,7 +71,9 @@ def main() -> None:
     warm = jnp.asarray(_np.zeros((16, 262_144), _np.uint8))
     _np.asarray(jax.jit(lambda d: tandem_mask(d) | long_tandem_mask(d))(warm))
 
-    cfg = PipelineConfig(annotate=True,
+    # recover=True: stage snapshots make interrupted scale runs resume
+    # instead of re-paying the early stages
+    cfg = PipelineConfig(annotate=True, recover=True,
                          align=AlignConfig(fixed_extend_base_threshold=2000))
     params = CoarseParams(seg_len=262_144, pair_batch=64, stride=4,
                           max_hits=4)
