@@ -125,7 +125,39 @@ class DomainScanner:
         out: List[List[DomainHit]] = [[] for _ in cand_seqs]
         if not cand_seqs:
             return out
-        mat, lens = pad_seqs(list(cand_seqs), n_rows=pad_rows(len(cand_seqs)))
+        # width-bucketed, row-capped dispatches: one monolithic
+        # [pad_rows(n)*6, max_len/3] chain program at 100 Mbp scale
+        # (hundreds of candidates incl. 30 kb entries) sent the remote
+        # compiler into the minutes-to-never regime — the same lesson as
+        # boundary_adjust's 2^23-cell cap
+        from hite_tpu.pipeline.candidates import bucket_iter
+
+        widths = np.array([max(96, len(c)) for c in cand_seqs])
+        for width, idxs in bucket_iter(range(len(cand_seqs)), widths):
+            cap = max(8, (1 << 22) // max(6 * (width // 3), 1))
+            cap = 1 << (cap.bit_length() - 1)
+            for b0 in range(0, len(idxs), cap):
+                sel = idxs[b0 : b0 + cap]
+                sub = self._scan_batch(
+                    [cand_seqs[i] for i in sel], width,
+                    min_identity=min_identity, min_aa_len=min_aa_len,
+                    max_hits_per_cand=max_hits_per_cand)
+                for i, hits in zip(sel, sub):
+                    out[i] = hits
+        return out
+
+    def _scan_batch(
+        self,
+        cand_seqs: Sequence[np.ndarray],
+        width: int,
+        *,
+        min_identity: float,
+        min_aa_len: int,
+        max_hits_per_cand: int,
+    ) -> List[List[DomainHit]]:
+        out: List[List[DomainHit]] = [[] for _ in cand_seqs]
+        mat, lens = pad_seqs(list(cand_seqs), width,
+                             n_rows=pad_rows(len(cand_seqs)))
         frames = translate_frames(jnp.asarray(mat))      # [B, 6, Laa]
         B, _, Laa = frames.shape
         fr_np = np.asarray(frames)

@@ -171,6 +171,24 @@ def verify_families(
                         if i != rep)
         med = (np.median([len(seqs[i]) for i in alts]) if alts else 0)
         alternates[g] = sorted(alts, key=lambda i: abs(len(seqs[i]) - med))
+
+    # PREFETCH alternates of families whose every rep is low-copy — those
+    # families WILL try an alternate, and fetching them lazily cost one
+    # whole-genome join per retry wave (~3 sequential joins per module at
+    # 100 Mbp; this folds them into one upfront join).  Judge-rejection
+    # retries stay lazy (not predictable here).
+    need_alt = sorted({
+        a
+        for g, idxs in members.items()
+        if all(len(copy_sets.get(i, ())) < min_copies for i in idxs)
+        for a in alternates[g][:2] if a not in copy_sets})
+    if need_alt:
+        with stage_timer(f"{stage}.alt_copies"):
+            for i, cs in zip(need_alt, finder.find_copies(
+                    [seqs[i] for i in need_alt],
+                    min_coverage=min_coverage,
+                    max_copies=cfg.msa.max_copies)):
+                copy_sets[i] = cs
     logger.info("%s: %d families from %d candidates (%d reps mapped)",
                 stage, len(members), len(gated), len(rep_idx))
 
