@@ -26,6 +26,9 @@ from hite_tpu.io.fasta import CODE_N, decode_seq, encode_seq, read_fasta
 # can never bridge two contigs (N never matches).
 CONTIG_SPACER = 64
 
+# Host arrays above this pack to 2 bits+Nmask (from_fasta auto tier).
+HOST_PACK_THRESHOLD = 512 * 1024 * 1024
+
 
 @dataclass
 class Genome:
@@ -64,8 +67,27 @@ class Genome:
         return cls(flat=flat, names=names, starts=starts, lengths=lengths)
 
     @classmethod
-    def from_fasta(cls, path: str, pad_to: int = 1024) -> "Genome":
-        return cls.from_dict(read_fasta(path), pad_to=pad_to)
+    def from_fasta(cls, path: str, pad_to: int = 1024,
+                   packed: Optional[bool] = None) -> "Genome":
+        """Load a FASTA.  ``packed=None`` auto-packs host storage to
+        2-bit+Nmask above HOST_PACK_THRESHOLD bp (the reference's >=2 GB
+        handling tier, main.py:328-329)."""
+        g = cls.from_dict(read_fasta(path), pad_to=pad_to)
+        if packed or (packed is None and len(g.flat) > HOST_PACK_THRESHOLD):
+            g.pack_host()
+        return g
+
+    def pack_host(self) -> None:
+        """Convert host storage to 2-bit+Nmask (`ops.pack2.PackedFlat`,
+        0.375 bytes/bp).  All host consumers go through len/slice reads
+        and masking writes, which PackedFlat emulates; whole-array
+        consumers (segment_view) unpack transiently."""
+        from hite_tpu.ops.pack2 import PackedFlat
+
+        if isinstance(self.flat, np.ndarray):
+            self.flat = PackedFlat.from_uint8(self.flat)
+        if isinstance(self.masked, np.ndarray):
+            self.masked = PackedFlat.from_uint8(self.masked)
 
     # ------------------------------------------------------------ coordinates
     @property
@@ -94,6 +116,8 @@ class Genome:
     def segment_view(self, seg_length: int, use_masked: bool = False) -> np.ndarray:
         """Zero-copy [n_segs, seg_length] view (flat padded to a multiple)."""
         src = self.masked if (use_masked and self.masked is not None) else self.flat
+        if not isinstance(src, np.ndarray):
+            src = src.unpack_all()        # PackedFlat: transient unpack
         L = len(src)
         n_segs = (L + seg_length - 1) // seg_length
         if n_segs * seg_length != L:
@@ -145,9 +169,18 @@ class Genome:
         ent = self._device_cache.get(key)
         if ent is None:
             Lp = max(65_536, 1 << (L - 1).bit_length())
-            buf = np.full(Lp, CODE_N, dtype=np.uint8)
-            buf[:L] = src
-            packed, nmask, _ = pack_codes(buf)
+            if isinstance(src, np.ndarray):
+                buf = np.full(Lp, CODE_N, dtype=np.uint8)
+                buf[:L] = src
+                packed, nmask, _ = pack_codes(buf)
+            else:
+                # PackedFlat: pad the stored bytes directly (L is a
+                # multiple of pad_to=1024, so no partial-byte seams);
+                # pad region is all-N (nmask 0xFF)
+                packed = np.zeros(Lp // 4, np.uint8)
+                packed[: len(src.packed)] = src.packed
+                nmask = np.full(Lp // 8, 0xFF, np.uint8)
+                nmask[: len(src.nmask)] = src.nmask
             ent = unpack_device(jnp.asarray(packed), jnp.asarray(nmask))
             self._device_cache[key] = ent
         return ent, L

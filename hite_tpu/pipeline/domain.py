@@ -349,3 +349,98 @@ def rt_motif_present(cand_seqs: Sequence[np.ndarray],
 @jax.jit
 def _translate_jit(mat):
     return translate_frames(mat)
+
+
+def _motif_nt_positions(aa_frames: np.ndarray, hit_mask_fn) -> int:
+    """First nucleotide position of a motif over the 3 FORWARD frames of
+    one element's [6, W//3] aa matrix; -1 if absent.  (Reverse frames
+    would invert the order comparison; intact LTR records are already
+    oriented by TG...CA, so forward frames suffice.)"""
+    best = -1
+    for f in range(3):
+        pos = hit_mask_fn(aa_frames[f])
+        if len(pos):
+            nt = 3 * int(pos[0]) + f
+            if best < 0 or nt < best:
+                best = nt
+    return best
+
+
+def ltr_domain_order(cand_seqs: Sequence[np.ndarray]) -> np.ndarray:
+    """int8 [N]: 1 = Copia domain order (INT upstream of RT), 2 = Gypsy
+    order (RT upstream of INT), 0 = no call.
+
+    The biological Copia/Gypsy discriminator is pol domain ORDER
+    (Wicker 2007): Copia pol is PR-INT-RT-RH, Gypsy is PR-RT-RH-INT.
+    The reference gets this from NeuralTE's domain features built on
+    RepeatPeps blast hits (`bin/NeuralTE/src/Util.py` domain vector);
+    with that profile blob missing upstream, both anchors here are
+    data-free grammars: RT by [LIVM]PQG..[YF]xDD (rt_motif_present) and
+    integrase by its N-terminal zinc-binding signature
+    H-X(3-7)-H-X(23-32)-C-X(2)-C.
+    """
+    from hite_tpu.ops.protein import AA_TO_CODE
+
+    n = len(cand_seqs)
+    out = np.zeros(n, np.int8)
+    if n == 0:
+        return out
+    m1_first = np.array([AA_TO_CODE[c] for c in _RT_M1_FIRST])
+    pqg = np.array([AA_TO_CODE[c] for c in "PQG"])
+    m2_first = np.array([AA_TO_CODE[c] for c in _RT_M2_FIRST])
+    dd = np.array([AA_TO_CODE[c] for c in "DD"])
+    code_h = AA_TO_CODE["H"]
+    code_c = AA_TO_CODE["C"]
+
+    def rt_hits(fr: np.ndarray) -> np.ndarray:
+        m1 = (np.isin(fr[:-3], m1_first) & (fr[1:-2] == pqg[0])
+              & (fr[2:-1] == pqg[1]) & (fr[3:] == pqg[2]))
+        p1 = np.nonzero(m1)[0]
+        if not len(p1):
+            return p1
+        m2 = (np.isin(fr[:-3], m2_first)
+              & (fr[2:-1] == dd[0]) & (fr[3:] == dd[1]))
+        p2 = np.nonzero(m2)[0]
+        if not len(p2):
+            return p2[:0]
+        d = p2[None, :] - p1[:, None] - 4
+        ok = ((d >= 5) & (d <= 200)).any(axis=1)
+        return p1[ok]
+
+    def int_hits(fr: np.ndarray) -> np.ndarray:
+        hp = np.nonzero(fr == code_h)[0]
+        if len(hp) < 2:
+            return hp[:0]
+        cp = np.nonzero(fr == code_c)[0]
+        if len(cp) < 2:
+            return hp[:0]
+        # C-X(2)-C pairs
+        c1 = cp[np.isin(cp + 3, cp)]
+        if not len(c1):
+            return c1
+        # H..H with 3-7 aa between starts 4-8 apart
+        gh = hp[None, :] - hp[:, None]
+        i1, i2 = np.nonzero((gh >= 4) & (gh <= 8))
+        if not len(i1):
+            return hp[:0]
+        h2 = hp[i2]
+        d = c1[None, :] - h2[:, None]
+        ok = ((d >= 24) & (d <= 33)).any(axis=1)
+        return np.sort(hp[i1[ok]])
+
+    from hite_tpu.pipeline.candidates import bucket_iter
+
+    widths = [max(96, len(s)) for s in cand_seqs]
+    for width, idxs in bucket_iter(range(n), np.array(widths)):
+        sub = [cand_seqs[i] for i in idxs]
+        mat, _ = pad_seqs(sub, width, n_rows=pad_rows(len(sub)))
+        aa = np.asarray(_translate_jit(jnp.asarray(mat)))
+        for bi, i in enumerate(idxs):
+            rt_nt = _motif_nt_positions(aa[bi], rt_hits)
+            if rt_nt < 0:
+                continue
+            int_nt = _motif_nt_positions(aa[bi], int_hits)
+            if int_nt < 0:
+                continue
+            out[i] = 1 if int_nt < rt_nt else 2
+    return out

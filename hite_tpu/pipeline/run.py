@@ -339,12 +339,16 @@ def run_pipeline(
                         classify_ltr_records(genome, res.records, cfg)
                 return res
 
+            if not cfg.ltr.use_filtr:
+                # legacy path (--use_FiLTR 0): a DIFFERENT algorithm
+                # family — exact-repeat harvest + LTR_retriever's strict
+                # structural filters (main.py:186-242), no deep filters
+                from hite_tpu.pipeline.ltr_legacy import (
+                    run_legacy_ltr_detection)
+                return _classified(
+                    run_legacy_ltr_detection(genome, cfg, gindex))
             res = run_ltr_detection(genome, cfg, gindex,
                                     seg_len=params.seg_len)
-            if not cfg.ltr.use_filtr:
-                # legacy path (--use_FiLTR 0): structural validation only,
-                # as LTR_harvest/finder + LTR_retriever (main.py:186-242)
-                return _classified(res)
             # FiLTR frame judgement: flank homology must break at the
             # element boundaries (rule verdict vetoes; the CNN confirms
             # among rule-True high-copy candidates when params exist)
