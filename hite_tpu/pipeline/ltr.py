@@ -490,6 +490,20 @@ def classify_ltr_records(
     logits = predict_logits(model, params, X)
     labels = predict_labels(logits, is_wicker=cfg.classify.is_wicker,
                             restrict=LTR_SUPERFAMILIES)
-    for r, lab in zip(records, labels):
+    # pol domain-order evidence overrides the CNN's Copia/Gypsy call:
+    # Copia pol is PR-INT-RT-RH, Gypsy is PR-RT-RH-INT (the reference's
+    # NeuralTE carries this as RepeatPeps domain features; the blob is
+    # missing upstream, so grammar-located motif order stands in)
+    from hite_tpu.models.classifier import WICKER_TO_RM
+    from hite_tpu.pipeline.domain import ltr_domain_order
+
+    internals = [genome.extract(r.lltr_end, r.rltr_start)[:8192]
+                 for r in records]
+    order = ltr_domain_order(internals)
+    for r, lab, o in zip(records, labels, order):
+        if o:
+            lab = ("Copia", "Gypsy")[o - 1]
+            if not cfg.classify.is_wicker:
+                lab = WICKER_TO_RM[lab]
         r.superfamily = lab
     return records
