@@ -86,3 +86,45 @@ def test_from_fasta_packed_flag(tmp_path):
     assert np.array_equal(g.extract(0, 5000), seq)
     g2 = Genome.from_fasta(path)          # below auto threshold: uint8
     assert isinstance(g2.flat, np.ndarray)
+
+
+def test_pipeline_on_packed_genome():
+    """End-to-end pipeline on a host-packed genome: every host consumer
+    (tandem mask writes, segment_view, coarse slices, extract) must work
+    against PackedFlat, and results must match the uint8 run."""
+    import numpy as np
+
+    from hite_tpu.config import AlignConfig, PipelineConfig
+    from hite_tpu.genome import Genome
+    from hite_tpu.pipeline.coarse import CoarseParams
+    from hite_tpu.pipeline.run import run_pipeline
+
+    rng = np.random.default_rng(13)
+    t = rng.integers(0, 4, 20).astype(np.uint8)
+    while t[0] == 3 and t[1] == 2:
+        t = rng.integers(0, 4, 20).astype(np.uint8)
+    te = np.concatenate([t, rng.integers(0, 4, 460).astype(np.uint8),
+                         (3 - t)[::-1]])
+    bg = rng.integers(0, 4, 80_000).astype(np.uint8)
+    for pos in (10_000, 30_000, 50_000, 70_000):
+        copy = te.copy()
+        muts = rng.random(len(copy)) < 0.02
+        copy[muts] = (copy[muts] + rng.integers(1, 4, muts.sum())) % 4
+        tsd = rng.integers(0, 4, 5).astype(np.uint8)
+        bg[pos - 5 : pos] = tsd
+        bg[pos + len(copy) : pos + len(copy) + 5] = tsd
+        bg[pos : pos + len(copy)] = copy
+
+    cfg = PipelineConfig(
+        align=AlignConfig(fixed_extend_base_threshold=2000),
+        te_type="tir", annotate=False)
+    params = CoarseParams(seg_len=16_384)
+
+    res8 = run_pipeline(Genome.from_dict({"chr1": bg.copy()}), cfg,
+                        coarse_params=params)
+    gp = Genome.from_dict({"chr1": bg.copy()})
+    gp.pack_host()
+    resp = run_pipeline(gp, cfg, coarse_params=params)
+    lib8 = {k: v.tobytes() for k, v in res8.libs["merged"].items()}
+    libp = {k: v.tobytes() for k, v in resp.libs["merged"].items()}
+    assert lib8 and lib8 == libp
