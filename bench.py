@@ -160,8 +160,25 @@ def _run_phase(genome_bp: int):
 def main() -> None:
     import jax
 
-    try:  # persistent compile cache cuts warmup wall-clock across runs
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    try:  # persistent compile cache cuts warmup wall-clock across runs;
+        # repo-local so it survives /tmp cleanup between driver rounds
+        # (round-2 lesson: a cold cache turns the 2 Mbp safety phase into
+        # ~30 min of remote compiles), seeded from any older /tmp cache
+        import os
+        import shutil
+
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        if os.path.isdir("/tmp/jax_cache"):
+            for f in os.listdir("/tmp/jax_cache"):
+                dst = os.path.join(cache, f)
+                if not os.path.exists(dst):
+                    try:
+                        shutil.copy2(os.path.join("/tmp/jax_cache", f), dst)
+                    except OSError:
+                        pass
+        jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass

@@ -113,6 +113,26 @@ class DomainScanner:
             _SCANNER_CACHE[key] = hit
         return hit
 
+    @classmethod
+    def from_fastas(cls, paths: Sequence[str],
+                    k: int = 4) -> "DomainScanner":
+        """One scanner over several protein libraries: entry names are
+        prefixed ``{source_index}|`` so callers can keep per-library
+        priority.  One combined scan replaces one translate + scan
+        dispatch pair PER library over the same candidate set
+        (library_feature_evidence paid this twice per refine)."""
+        key = tuple((os.path.abspath(p), os.path.getmtime(p))
+                    for p in paths) + (k,)
+        hit = _SCANNER_CACHE.get(key)
+        if hit is None:
+            lib: Dict[str, np.ndarray] = {}
+            for si, p in enumerate(paths):
+                for name, seq in read_protein_fasta(p).items():
+                    lib[f"{si}|{name}"] = seq
+            hit = cls(lib, k=k)
+            _SCANNER_CACHE[key] = hit
+        return hit
+
     def scan(
         self,
         cand_seqs: Sequence[np.ndarray],

@@ -241,16 +241,19 @@ def library_feature_evidence(
     domain_classes: List[Optional[int]] = [None] * n
     data_dir = os.path.join(os.path.dirname(__file__), "..", "data",
                             "protein")
-    for fn in ("TIRPeps.lib", "HelitronPeps.lib"):
-        path = os.path.join(data_dir, fn)
-        if not os.path.exists(path):
-            continue
-        scanner = DomainScanner.from_fasta(path)
+    # one combined scan over both vendored pep libs (translate + scan
+    # dispatches were paid once per lib over the same seqs); entry names
+    # carry a "{source}|" prefix that preserves TIRPeps-first priority
+    paths = [p for fn in ("TIRPeps.lib", "HelitronPeps.lib")
+             if os.path.exists(p := os.path.join(data_dir, fn))]
+    if paths:
+        scanner = DomainScanner.from_fastas(paths)
         hit_sets = scanner.scan(seqs)
         for i, hits in enumerate(hit_sets):
-            if domain_classes[i] is not None or not hits:
+            if not hits:
                 continue
-            best = max(hits, key=lambda h: h.entry_cov)
+            best = min(hits, key=lambda h: (int(h.entry.split("|", 1)[0]),
+                                            -h.entry_cov))
             label = best.entry.rpartition("#")[2]
             domain_classes[i] = label_to_class(label)
     return tsd_seqs, domain_classes

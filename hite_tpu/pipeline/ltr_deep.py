@@ -443,31 +443,34 @@ def cross_class_filter(
     gindex = gindex or GenomeIndex(genome, cfg.align)
     finder = CopyFinder(gindex)
 
+    # Copy frames and family analyses are JUDGE-INDEPENDENT: fetch every
+    # terminal's copies in ONE whole-genome join and analyze them in ONE
+    # batched device call, then each class judge re-reads the same
+    # precomputed analyses host-side (previously each of the three
+    # classes re-paid its own join + batched analyze over the same
+    # terminals — 3x the device work for identical inputs).
+    from hite_tpu.pipeline.boundary_adjust import analyze_families_batched
+
+    with stage_timer("ltr.cross_class"):
+        all_copy_sets = finder.find_copies(
+            [genome.extract(int(s), int(e)) for s, e in term_iv],
+            min_coverage=0.9, max_copies=cfg.msa.max_copies)
+        all_batch = [((int(term_iv[i, 0]), int(term_iv[i, 1])), copies)
+                     for i, copies in enumerate(all_copy_sets)]
+        all_analyses = analyze_families_batched(genome, all_batch, cfg.msa)
+
     def rejudge(idxs: List[int], judge, min_copies: int) -> List[int]:
         """Terminals whose full-length copy frames pass the given class
         judge (one round of the MSA boundary engine — the reference runs
         judge_boundary_v5 once on each terminal's frames,
         filter_tir/filter_helitron/filter_sine src/Util.py:9980-10250;
-        the judge itself adapts to row count, so 2 rows suffice).
-        All terminals analyze in ONE batched device call (the per-record
-        adjust path paid one tunnel dispatch per record per class)."""
-        from hite_tpu.pipeline.boundary_adjust import (
-            analyze_families_batched,
-        )
-
-        if not idxs:
-            return []
-        copy_sets = finder.find_copies(
-            [genome.extract(int(term_iv[i, 0]), int(term_iv[i, 1]))
-             for i in idxs],
-            min_coverage=0.9, max_copies=cfg.msa.max_copies)
-        batch = [((int(term_iv[i, 0]), int(term_iv[i, 1])), copies)
-                 for i, copies in zip(idxs, copy_sets)]
-        analyses = analyze_families_batched(genome, batch, cfg.msa)
+        the judge itself adapts to row count, so 2 rows suffice)."""
         hits = []
-        for i, (interval, copies), pre in zip(idxs, batch, analyses):
+        for i in idxs:
+            interval, copies = all_batch[i]
             res = adjust_candidate(genome, interval, copies, cfg.msa,
-                                   judge, min_copies, precomputed=pre)
+                                   judge, min_copies,
+                                   precomputed=all_analyses[i])
             if res.accepted:
                 hits.append((i, res.consensus))
         return hits
