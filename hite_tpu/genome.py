@@ -114,7 +114,12 @@ class Genome:
 
     # --------------------------------------------------------------- segments
     def segment_view(self, seg_length: int, use_masked: bool = False) -> np.ndarray:
-        """Zero-copy [n_segs, seg_length] view (flat padded to a multiple)."""
+        """Zero-copy [n_segs, seg_length] view (flat padded to a multiple).
+
+        On a PackedFlat genome this transiently unpacks the WHOLE array
+        (1 byte/bp peak); batch-iterating consumers should prefer
+        `segment_batches`, which unpacks one batch at a time.
+        """
         src = self.masked if (use_masked and self.masked is not None) else self.flat
         if not isinstance(src, np.ndarray):
             src = src.unpack_all()        # PackedFlat: transient unpack
@@ -124,6 +129,28 @@ class Genome:
             pad = np.full(n_segs * seg_length - L, CODE_N, dtype=np.uint8)
             src = np.concatenate([src, pad])
         return src.reshape(n_segs, seg_length)
+
+    def n_segments(self, seg_length: int) -> int:
+        return (len(self.flat) + seg_length - 1) // seg_length
+
+    def segment_batches(self, seg_length: int, batch: int,
+                        use_masked: bool = False):
+        """Yield (seg0, [batch, seg_length]) chunks, unpacking a
+        PackedFlat genome one batch at a time (peak transient host
+        memory = batch * seg_length bytes instead of 1 byte/bp for the
+        whole genome).  The final batch is N-padded to full size."""
+        src = self.masked if (use_masked and self.masked is not None) else self.flat
+        n_segs = self.n_segments(seg_length)
+        for b0 in range(0, n_segs, batch):
+            nb = min(batch, n_segs - b0)
+            s = b0 * seg_length
+            e = min((b0 + nb) * seg_length, len(src))
+            chunk = np.asarray(src[s:e])   # PackedFlat: per-batch unpack
+            want = batch * seg_length
+            if len(chunk) < want:
+                chunk = np.concatenate(
+                    [chunk, np.full(want - len(chunk), CODE_N, np.uint8)])
+            yield b0, chunk.reshape(batch, seg_length)
 
     # ---------------------------------------------------------------- masking
     def init_mask(self) -> None:

@@ -37,8 +37,13 @@ def default_model_path(name: str) -> str:
 
 
 def pretrain_superfamily(n_per_class: int = 60, epochs: int = 30,
-                         seed: int = 0, out: str | None = None):
-    """Train the SuperfamilyCNN on a synthetic library; returns metrics."""
+                         seed: int = 0, out: str | None = None,
+                         mined_dirs: "list[str] | None" = None):
+    """Train the SuperfamilyCNN on a synthetic library; returns metrics.
+
+    `mined_dirs`: completed-pipeline out_dirs to mine for weak-labeled
+    real discovered families (`models.weak_labels`, VERDICT r3 #6) —
+    folded into training alongside the synthetic + curated corpora."""
     import jax
 
     from hite_tpu.models.synthetic import synthetic_training_set
@@ -64,6 +69,19 @@ def pretrain_superfamily(n_per_class: int = 60, epochs: int = 30,
     if len(Xc):
         X = np.concatenate([X] + [Xc] * 3)
         y = np.concatenate([y] + [yc] * 3)
+    # weak-labeled discovered families from completed runs: every label
+    # is domain/structural evidence, never a prior classifier call
+    if mined_dirs:
+        from hite_tpu.models.weak_labels import mine_weak_labels
+
+        mlib, mlabels = mine_weak_labels(mined_dirs)
+        mlib = {f"{n}#{mlabels[n]}": s for n, s in mlib.items()
+                if mlabels.get(n)}
+        if mlib:
+            Xm, ym, _ = make_dataset(
+                mlib, domains={n: n.rpartition("#")[2] for n in mlib})
+            X = np.concatenate([X] + [Xm] * 2)
+            y = np.concatenate([y] + [ym] * 2)
     model, params, hist = train_classifier(X, y, epochs=epochs, seed=seed)
 
     ev = synthetic_training_set(n_per_class=max(8, n_per_class // 5),
@@ -73,8 +91,12 @@ def pretrain_superfamily(n_per_class: int = 60, epochs: int = 30,
     # held-out curated evaluation: the honest real-data number
     Xr, yr, _ = curated_dataset(fold="eval")
     if len(Xr):
+        from hite_tpu.models.trainer import evaluate_per_class
+
         cur = evaluate(model, params, Xr, yr)
         metrics.update({f"curated_{k}": v for k, v in cur.items()})
+        metrics["curated_per_class"] = evaluate_per_class(
+            model, params, Xr, yr)
     if out:
         save_params(out, jax.tree.map(
             lambda a: np.asarray(a, np.float16), params))

@@ -317,6 +317,27 @@ def evaluate(model, params, X: np.ndarray, y: np.ndarray) -> Dict[str, float]:
                 recall=float(np.mean(recs)), f1=float(np.mean(f1s)))
 
 
+def evaluate_per_class(model, params, X: np.ndarray,
+                       y: np.ndarray) -> Dict[str, Dict[str, float]]:
+    """Per-class precision/recall/F1/support table (the reference prints
+    sklearn's classification_report in CrossValidator.py; this is the
+    same breakdown, keyed by Wicker class name)."""
+    logits = predict_logits(model, params, np.asarray(X))
+    pred = np.asarray(jnp.argmax(logits, axis=-1))
+    out: Dict[str, Dict[str, float]] = {}
+    for c in np.unique(y):
+        tp = int(((pred == c) & (y == c)).sum())
+        fp = int(((pred == c) & (y != c)).sum())
+        fn = int(((pred != c) & (y == c)).sum())
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        out[WICKER_CLASSES[int(c)]] = dict(
+            precision=round(p, 3), recall=round(r, 3),
+            f1=round(2 * p * r / (p + r), 3) if p + r else 0.0,
+            support=int((y == c).sum()))
+    return out
+
+
 def cross_validate(
     X: np.ndarray, y: np.ndarray, *, folds: int = 5, epochs: int = 20,
     seed: int = 0,

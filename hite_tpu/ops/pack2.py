@@ -139,7 +139,15 @@ class PackedFlat:
                 self.nmask[e - 1 >> 3] |= np.uint8(rmask)
             return
         else:
-            pos = np.asarray(idx, np.int64).reshape(-1)
+            pos = np.asarray(idx)
+            if pos.dtype == bool:
+                # a boolean mask cast to int64 would silently become
+                # positions 0/1 — convert to the selected positions
+                if pos.shape != (self.L,):
+                    raise IndexError("PackedFlat boolean mask must cover "
+                                     "the full array")
+                pos = np.nonzero(pos)[0]
+            pos = pos.astype(np.int64).reshape(-1)
             if pos.size and (pos.min() < 0 or pos.max() >= self.L):
                 raise IndexError("PackedFlat mask position out of range")
         np.bitwise_or.at(self.nmask, pos >> 3,

@@ -96,15 +96,43 @@ _analyze = functools.partial(
 )(_analyze_core)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "int_window",
-                                             "ext_window", "trunc_at"))
-def _analyze_batch(centers, copies_mats, lens, anchors_l, anchors_r, *,
-                   radius=50, int_window=20, ext_window=10, trunc_at=0):
+def _analyze_batch_core(centers, copies_mats, lens, anchors_l, anchors_r, *,
+                        radius=50, int_window=20, ext_window=10, trunc_at=0):
     """vmapped family analysis: centers [F, W], copies [F, R, W], ..."""
     fn = functools.partial(_analyze_core, radius=radius,
                            int_window=int_window, ext_window=ext_window,
                            trunc_at=trunc_at)
     return jax.vmap(fn)(centers, copies_mats, lens, anchors_l, anchors_r)
+
+
+_analyze_batch = functools.partial(
+    jax.jit, static_argnames=("radius", "int_window", "ext_window",
+                              "trunc_at")
+)(_analyze_batch_core)
+
+
+# mesh-sharded analyze executables, keyed by (statics, mesh identity);
+# plain dict because Mesh hashability is not guaranteed across versions
+_SHARDED_ANALYZE_CACHE: dict = {}
+
+
+def _analyze_batch_sharded(mesh, trunc_at: int):
+    """`_analyze_batch` with the FAMILY axis sharded over every mesh
+    axis — pure GSPMD data parallelism over an embarrassingly parallel
+    vmap, so results are bit-identical to the single-device program
+    (the TPU equivalent of the reference's per-chunk TIR/Helitron/
+    non-LTR fan-out, main.nf:627-648)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = (trunc_at, id(mesh))
+    fn = _SHARDED_ANALYZE_CACHE.get(key)
+    if fn is None:
+        shard_f = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+        fn = jax.jit(
+            functools.partial(_analyze_batch_core, trunc_at=trunc_at),
+            in_shardings=(shard_f,) * 5)
+        _SHARDED_ANALYZE_CACHE[key] = fn
+    return fn
 
 
 def _prep_family(
@@ -199,8 +227,12 @@ def analyze_families_batched(
     genome: Genome,
     items: Sequence[Tuple[Tuple[int, int], Sequence[CopyHit]]],
     cfg: MSAConfig,
+    mesh=None,
 ) -> List[Tuple[FamilyAnalysis, int]]:
-    """Bucketed batched analysis of many families in few device calls."""
+    """Bucketed batched analysis of many families in few device calls.
+
+    With `mesh`, each dispatch shards its family batch axis over the
+    mesh (identical results; see `_analyze_batch_sharded`)."""
     preps = [_prep_family(genome, iv, cp, cfg) for iv, cp in items]
     out: List[Optional[Tuple[FamilyAnalysis, int]]] = [None] * len(items)
     # ONE batch per trunc mode: long_copy_trunc caps every frame width at
@@ -230,6 +262,9 @@ def analyze_families_batched(
         # 2-4 min, tens of variants), not an execution cost
         F = len(idxs)
         Fp = max(4, 1 << (F - 1).bit_length())
+        if mesh is not None:
+            D = mesh.devices.size
+            Fp = -(-Fp // D) * D     # family axis divisible by mesh size
         rb = max(preps[i][7] for i in idxs)
         width = max(preps[i][6] for i in idxs)
         centers = np.full((Fp, width), 4, np.uint8)
@@ -244,9 +279,11 @@ def analyze_families_batched(
             lens[b, : p[7]] = p[2]
             al[b] = p[3]
             ar[b] = p[4]
-        M, homo, cons, left, right = _analyze_batch(
+        run = (_analyze_batch_sharded(mesh, trunc_at) if mesh is not None
+               else functools.partial(_analyze_batch, trunc_at=trunc_at))
+        M, homo, cons, left, right = run(
             jnp.asarray(centers), jnp.asarray(mats), jnp.asarray(lens),
-            jnp.asarray(al), jnp.asarray(ar), trunc_at=trunc_at)
+            jnp.asarray(al), jnp.asarray(ar))
         M = np.asarray(M)
         homo = np.asarray(homo)
         cons = np.asarray(cons)

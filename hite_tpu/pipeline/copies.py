@@ -217,10 +217,16 @@ class CopyFinder:
 
     strategy "join" (default): ONE whole-genome sort-merge k-mer join per
     call (`ops.libjoin`) — the gather-free path; ~two sorts per call
-    instead of per-(segment, candidate-block) lookup dispatches.
-    strategy "segments": the legacy per-segment bucketed-lookup mapper,
-    kept for the mesh-sharded dispatch (selected automatically with
-    `mesh`, where the candidate batch axis shards over devices).
+    instead of per-(segment, candidate-block) lookup dispatches.  With
+    `mesh`, the SAME join programs run with the genome stream sharded
+    over the mesh (GSPMD-partitioned sorts/scans) — results are
+    identical to the single-device join by construction, which is what
+    makes full-pipeline mesh parity assertable (the earlier design
+    switched to the legacy segments mapper under a mesh, whose seed
+    budgets differ from the join's and broke annotation parity on
+    richer substrates).
+    strategy "segments": the legacy per-segment bucketed-lookup mapper
+    (explicit opt-in only).
     """
 
     def __init__(self, index: GenomeIndex, *, stride: int = 1, max_hits: int = 8,
@@ -229,7 +235,7 @@ class CopyFinder:
                  strategy: str = "join", fill_w: int = 8):
         self.index = index
         self.mesh = mesh
-        self.strategy = "segments" if mesh is not None else strategy
+        self.strategy = strategy
         self.diag_band = diag_band
         self.run_gap = run_gap
         self.min_seeds = min_seeds
@@ -465,6 +471,16 @@ class CopyFinder:
             cand_id[starts[i] : starts[i] + lens[i]] = i
         cand_flat_d = jnp.asarray(cand_flat)
         cand_id_d = jnp.asarray(cand_id)
+        if self.mesh is not None:
+            # GSPMD: candidates replicate; the jitted join programs are
+            # compiled against these shardings, so XLA partitions the
+            # genome-stream sorts/scans across the mesh with identical
+            # results to the single-device programs
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            cand_flat_d = jax.device_put(cand_flat_d, repl)
+            cand_id_d = jax.device_put(cand_id_d, repl)
         lens_f = np.maximum(lens.astype(np.float64), 1)
 
         def _one_chunk(chunk_d, c0: int, Cl: int) -> None:
@@ -565,6 +581,13 @@ class CopyFinder:
 
         flat_d, _L = idx.genome.device_flat_padded(idx.use_masked)
         Lp = int(flat_d.shape[0])
+        if self.mesh is not None:
+            # genome stream sharded over every mesh axis (Lp is pow2, so
+            # always divisible by the pow2 device count)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            flat_d = jax.device_put(flat_d, NamedSharding(
+                self.mesh, P(tuple(self.mesh.axis_names))))
         if Lp <= self.max_libjoin_bp:
             _one_chunk(flat_d, 0, Lp)
         else:
@@ -589,7 +612,8 @@ _MINHASH_SALTS = np.arange(1, 65, dtype=np.uint64) * np.uint64(
 
 def _kmer_sketch_groups(seqs: Sequence[np.ndarray], k: int,
                         thresh: float = 0.15,
-                        sketch: int = 64) -> List[int]:
+                        sketch: int = 64,
+                        linkage: str = "single") -> List[int]:
     """Group candidates by EXACT k-mer sharing (min-hash Jaccard estimate).
 
     The 4-mer-profile centered cosine this replaces measured composition,
@@ -601,7 +625,19 @@ def _kmer_sketch_groups(seqs: Sequence[np.ndarray], k: int,
     each other in the join's fill slots nor be copies of one family.
     Min-hash: per candidate, the min of (code ^ salt) * mult over its
     k-mer set for `sketch` salts; slot-equality fraction estimates
-    Jaccard.  Single-linkage components over pairs >= thresh.
+    Jaccard.
+
+    linkage "single": union-find components over pairs >= thresh — right
+    for join-wave formation (k-mer COMPETITION is transitive).
+    linkage "greedy": cd-hit-style greedy representative clustering in
+    length-ASCENDING order — a candidate joins the first FOUNDER it
+    matches, never another member, so a chimeric candidate spanning two
+    adjacent distinct families attaches to one family without ever
+    MERGING the two (single linkage chained 146/259 gated candidates of
+    the dense bench substrate into one component, whose single rep then
+    lost a whole planted family; reference analog: cd-hit-est's greedy
+    rep clustering in judge_TIR_transposons.py:87-89).  Ascending order
+    makes pure (short) candidates the founders, chimeras the joiners.
     """
     n = len(seqs)
     if n <= 1:
@@ -627,6 +663,25 @@ def _kmer_sketch_groups(seqs: Sequence[np.ndarray], k: int,
             * np.uint64(0xC2B2AE3D27D4EB4F)
         sk[i] = h.min(axis=0)
         has_sketch[i] = True
+    if linkage == "greedy":
+        order = sorted(range(n), key=lambda i: len(seqs[i]))
+        group = np.full(n, -1, np.int64)
+        founders: List[int] = []
+        for i in order:
+            if not has_sketch[i]:
+                group[i] = i
+                continue
+            if founders:
+                fsk = sk[founders]                       # [F, sketch]
+                agree = (fsk == sk[i][None, :]).mean(axis=1)
+                j = int(np.argmax(agree))
+                if agree[j] >= thresh:
+                    group[i] = founders[j]
+                    continue
+            founders.append(i)
+            group[i] = i
+        return [int(g) for g in group]
+
     parent = np.arange(n)
 
     def find(x: int) -> int:

@@ -248,7 +248,12 @@ def library_feature_evidence(
              if os.path.exists(p := os.path.join(data_dir, fn))]
     if paths:
         scanner = DomainScanner.from_fastas(paths)
-        hit_sets = scanner.scan(seqs)
+        # 3x the single-lib hit budget: the combined scan shares one
+        # per-candidate hit list across BOTH libraries, and abundant
+        # HelitronPeps hits must not evict a TIRPeps hit that the
+        # source-priority pick below would have preferred (the budget is
+        # a host-side slice, so this costs no new device program)
+        hit_sets = scanner.scan(seqs, max_hits_per_cand=48)
         for i, hits in enumerate(hit_sets):
             if not hits:
                 continue

@@ -159,9 +159,8 @@ def _flank_homo_core(M: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
 _flank_homo_stats = jax.jit(_flank_homo_core)
 
 
-@jax.jit
-def _frame_judge_batch(centers: jnp.ndarray, mats: jnp.ndarray,
-                       lens: jnp.ndarray):
+def _frame_judge_core(centers: jnp.ndarray, mats: jnp.ndarray,
+                      lens: jnp.ndarray):
     """Fused per-bucket frame pipeline: project copies onto the center
     frame, flank-homogeneity stats and the boundary rule verdict — ONE
     device program instead of three per record (each per-record dispatch
@@ -178,6 +177,24 @@ def _frame_judge_batch(centers: jnp.ndarray, mats: jnp.ndarray,
         return M, jnp.stack([n, lh, rh, jh, jr]).astype(jnp.int32), rule
 
     return jax.vmap(one)(centers, mats, lens)
+
+
+_frame_judge_batch = jax.jit(_frame_judge_core)
+
+# mesh-sharded frame-judge executables (record batch axis over the mesh;
+# bit-identical to the single-device vmap)
+_SHARDED_FRAME_CACHE: dict = {}
+
+
+def _frame_judge_batch_sharded(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fn = _SHARDED_FRAME_CACHE.get(id(mesh))
+    if fn is None:
+        shard_b = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+        fn = jax.jit(_frame_judge_core, in_shardings=(shard_b,) * 3)
+        _SHARDED_FRAME_CACHE[id(mesh)] = fn
+    return fn
 
 
 def flank_homogeneity_ok(M: np.ndarray) -> bool:
@@ -296,6 +313,7 @@ def deep_filter_records(
     gindex: Optional[GenomeIndex] = None,
     cnn_params=None,
     low_copy_threshold: int = 5,
+    mesh=None,
 ) -> List[LTRRecord]:
     """Filter intact-LTR records with the frame rule (+ CNN when trained).
 
@@ -340,7 +358,10 @@ def deep_filter_records(
             B = 16
             for b0 in range(0, len(items), B):
                 sub = items[b0 : b0 + B]
-                Bp = 1 << (len(sub) - 1).bit_length()
+                Bp = max(1, 1 << (len(sub) - 1).bit_length())
+                if mesh is not None:
+                    D = mesh.devices.size
+                    Bp = -(-Bp // D) * D
                 centers = np.full((Bp, width2), 4, np.uint8)
                 mats = np.full((Bp, rb, width2), 4, np.uint8)
                 lens = np.zeros((Bp, rb), np.int32)
@@ -349,7 +370,9 @@ def deep_filter_records(
                     m, l = pad_seqs(rows, width2, n_rows=rb)
                     mats[bi] = m
                     lens[bi] = l
-                Ms, stats, rules = _frame_judge_batch(
+                judge_fn = (_frame_judge_batch_sharded(mesh)
+                            if mesh is not None else _frame_judge_batch)
+                Ms, stats, rules = judge_fn(
                     jnp.asarray(centers), jnp.asarray(mats),
                     jnp.asarray(lens))
                 Ms = np.asarray(Ms)
@@ -414,6 +437,7 @@ def cross_class_filter(
     records: Sequence[LTRRecord],
     cfg: PipelineConfig,
     gindex: Optional[GenomeIndex] = None,
+    mesh=None,
 ) -> Tuple[List[LTRRecord], Dict[str, List[np.ndarray]]]:
     """FiLTR's TIR/Helitron/SINE cross-class filters.
 
@@ -457,7 +481,8 @@ def cross_class_filter(
             min_coverage=0.9, max_copies=cfg.msa.max_copies)
         all_batch = [((int(term_iv[i, 0]), int(term_iv[i, 1])), copies)
                      for i, copies in enumerate(all_copy_sets)]
-        all_analyses = analyze_families_batched(genome, all_batch, cfg.msa)
+        all_analyses = analyze_families_batched(genome, all_batch, cfg.msa,
+                                                mesh=mesh)
 
     def rejudge(idxs: List[int], judge, min_copies: int) -> List[int]:
         """Terminals whose full-length copy frames pass the given class

@@ -44,7 +44,7 @@ from hite_tpu.utils.log import logger, stage_timer
 def harvest_exact_seeds(
     genome: Genome,
     cfg: PipelineConfig,
-    seed_len: int = 30,
+    seed_len: int = 20,
     use_masked: bool = True,
 ) -> List[Tuple[int, int, int, int]]:
     """Maximal exact-repeat seeds (qs, qe, ss, se) in the element window.
@@ -116,12 +116,21 @@ def harvest_exact_seeds(
 def _seed_windows(
     seeds: List[Tuple[int, int, int, int]],
     cfg: PipelineConfig,
-    ext: int = 1000,
+    ext: int = 0,
 ) -> List[Tuple[int, int, int, int]]:
     """X-drop extension windows: each exact seed +- `ext` bp on both
-    sides (LTRharvest `-maxlenltr 1000` default), clipped so the two
-    windows never overlap (a pair closer than that is a tandem, which
-    the downstream tandem gate owns)."""
+    sides, clipped so the two windows never overlap (a pair closer than
+    that is a tandem, which the downstream tandem gate owns).
+
+    ``ext=0`` derives min(2000, cfg.ltr.max_ltr_len).  DELIBERATE
+    DEVIATION from the reference's ltrharvest `-maxlenltr 7000`
+    (`Util.py:666-668`): the window SW is O(width^2) per pair, so a
+    7 kb extension would make each window a >16k-wide DP; at 2 kb a
+    recoverable LTR needs a >=seed_len exact run within ~2 kb of its
+    termini — which recent (high-identity, the ones LTR_retriever keeps)
+    elements essentially always have."""
+    if ext <= 0:
+        ext = min(2000, cfg.ltr.max_ltr_len)
     wins = []
     for (qa, qb, sa, sb) in seeds:
         mid = (qb + sa) // 2
@@ -137,26 +146,80 @@ def _seed_windows(
 def retriever_filter(
     genome: Genome,
     records: List[LTRRecord],
+    boundary_tol: int = 10,
+    min_old_identity: float = 0.91,
 ) -> List[LTRRecord]:
-    """LTR_retriever's strict structural requirement: every element must
-    carry a TSD (snapped by `refine_and_filter`) and/or the TG...CA
-    terminal motif — candidates with neither are false positives
-    regardless of pair identity (LTR_retriever README / reference
-    main.py:219-242).  FiLTR relaxes this for high-identity pairs; the
-    legacy path does not."""
+    """LTR_retriever's structural filter stack (reference drives it with
+    defaults at `main.py:219-242` / `Util.py:697-704`):
+
+    1. TSD and/or TG...CA motif — candidates with neither are false
+       positives regardless of pair identity (FiLTR relaxes this for
+       high-identity pairs; the legacy path does not).
+    2. BOUNDARY-ALIGNMENT AGREEMENT: the 5' and 3' LTR sequences must
+       align essentially end-to-end — the SW alignment of lLTR vs rLTR
+       has to reach within `boundary_tol` bp of all four termini
+       (LTR_retriever's boundary check, ltrharvest `-vic 10`).  A
+       high-identity pair whose reported boundaries are shifted into
+       flank/interior aligns at an internal offset and is rejected.
+    3. DIVERGENCE + joint evidence: pairs below `min_old_identity`
+       (LTR_retriever's default intact-element identity tier) must carry
+       BOTH a TSD and the terminal motif — diverged elements need the
+       full structural combination, not either half.
+    """
+    import jax.numpy as jnp
+
+    from hite_tpu.ops.terminal import batched_local_align_auto
+    from hite_tpu.pipeline.candidates import pad_rows, pad_seqs
+
+    if not records:
+        return []
+
+    # batched lLTR-vs-rLTR end-to-end alignment (boundary agreement)
+    lseqs = [genome.extract(r.lltr_start, r.lltr_end) for r in records]
+    rseqs = [genome.extract(r.rltr_start, r.rltr_end) for r in records]
+    width = max(max((len(s) for s in lseqs), default=64),
+                max((len(s) for s in rseqs), default=64), 64)
+    width = 1 << (width - 1).bit_length()
+    rows = pad_rows(len(records))
+    lmat, _ = pad_seqs(lseqs, width, n_rows=rows)
+    rmat, _ = pad_seqs(rseqs, width, n_rows=rows)
+    al = batched_local_align_auto(jnp.asarray(lmat), jnp.asarray(rmat))
+    qs, qe = np.asarray(al.qs), np.asarray(al.qe)
+    ss, se = np.asarray(al.ss), np.asarray(al.se)
+
     kept = []
-    for r in records:
+    n_struct = n_bound = n_div = 0
+    for i, r in enumerate(records):
         l2 = genome.extract(r.start, r.start + 2)
         r2 = genome.extract(r.end - 2, r.end)
-        has_tgca = (len(l2) == 2 and len(r2) == 2
-                    and l2[0] == 3 and l2[1] == 2
-                    and r2[0] == 1 and r2[1] == 0)
-        if has_tgca or r.tsd_len > 0:
-            kept.append(r)
+        # TG...CA with <=1 mismatch across the 4 motif bases
+        # (ltrharvest -motif TGCA -motifmis 1)
+        mm = 4
+        if len(l2) == 2 and len(r2) == 2:
+            mm = int(l2[0] != 3) + int(l2[1] != 2) + \
+                 int(r2[0] != 1) + int(r2[1] != 0)
+        has_motif = mm <= 1
+        has_tsd = r.tsd_len > 0
+        if not (has_motif or has_tsd):
+            n_struct += 1
+            continue
+        agree = (qs[i] <= boundary_tol and ss[i] <= boundary_tol
+                 and qe[i] >= len(lseqs[i]) - boundary_tol
+                 and se[i] >= len(rseqs[i]) - boundary_tol)
+        if not agree:
+            n_bound += 1
+            continue
+        if r.identity < min_old_identity and not (has_motif and has_tsd):
+            n_div += 1
+            continue
+        kept.append(r)
     if len(kept) < len(records):
-        logger.info("ltr.legacy: retriever filter dropped %d/%d "
-                    "(no TSD and no TG...CA)",
-                    len(records) - len(kept), len(records))
+        logger.info(
+            "ltr.legacy: retriever filter dropped %d/%d "
+            "(%d no TSD/motif, %d boundary disagreement, "
+            "%d diverged without joint TSD+motif)",
+            len(records) - len(kept), len(records), n_struct, n_bound,
+            n_div)
     return kept
 
 

@@ -53,16 +53,14 @@ def _mask_tandem_regions(genome: Genome, seg_len: int = 131_072,
     # extra compile each plus an un-jitted `|` dispatch over the tunnel)
     combined = jax.jit(lambda d: tandem_mask(d) | long_tandem_mask(d))
 
-    segs = genome.segment_view(seg_len)
+    n_segs = genome.n_segments(seg_len)
     total = 0
-    for b0 in range(0, segs.shape[0], batch):
-        chunk = segs[b0 : b0 + batch]
-        if chunk.shape[0] < batch:
-            chunk = np.pad(chunk, ((0, batch - chunk.shape[0]), (0, 0)),
-                           constant_values=4)
+    # segment_batches unpacks a PackedFlat genome one batch at a time, so
+    # the >512 Mbp tier never pays a whole-genome 1 byte/bp transient here
+    for b0, chunk in genome.segment_batches(seg_len, batch):
         dev = jnp.asarray(chunk)
         mask = np.asarray(combined(dev))
-        for bi in range(min(batch, segs.shape[0] - b0)):
+        for bi in range(min(batch, n_segs - b0)):
             pos = np.nonzero(mask[bi])[0]
             if len(pos) == 0:
                 continue
@@ -201,6 +199,9 @@ class RunResult:
     non_ltr: Optional[ModuleResult] = None
     ltr: Optional[LTRResult] = None
     metrics: Dict = field(default_factory=dict)
+    # per-locus AnnotationHits when cfg.annotate (consumed by bench.py's
+    # planted-truth accuracy evaluation, not just the GFF writer)
+    annotation: list = field(default_factory=list)
 
 
 def run_pipeline(
@@ -230,6 +231,7 @@ def run_pipeline(
     if cfg.clean_genome and len(genome.names) > 1:
         from hite_tpu.pipeline.clean import clean_genome
 
+        was_packed = not isinstance(genome.flat, np.ndarray)
         with stage_timer("pipeline.clean"):
             cleaned, name_map = clean_genome(genome.to_dict(), cfg,
                                              rename=True)
@@ -238,6 +240,12 @@ def run_pipeline(
                         len(genome.names) - len(cleaned.names),
                         len(genome.names))
         genome = cleaned
+        if was_packed:
+            # a >512 Mbp auto-packed input must stay packed through the
+            # whole run: Genome.from_dict inside clean_genome rebuilds
+            # plain uint8 (transient 1 byte/bp peak is unavoidable for
+            # the rebuild itself, but steady-state returns to 3 bits/bp)
+            genome.pack_host()
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
             with open(os.path.join(out_dir, "contig_name.map"), "w") as fh:
@@ -290,7 +298,10 @@ def run_pipeline(
         per_mod: Dict[str, list] = {k: [] for k in plans}
         if union:
             with stage_timer("modules.copies"):
-                sets = CopyFinder(gindex).find_copies(
+                # with a mesh the shared join's candidate batch axis
+                # shards over the devices (CopyFinder GSPMD path — the
+                # reference's per-chunk module fan-out, main.nf:627-648)
+                sets = CopyFinder(gindex, mesh=mesh).find_copies(
                     [plans[k].seqs[i] for k, i in union],
                     min_coverage=0.9, max_copies=cfg.msa.max_copies)
             for (k, _i), cs in zip(union, sets):
@@ -303,7 +314,7 @@ def run_pipeline(
         for k, g in gates.items():
             out[k] = runners[k](genome, coarse, cfg, gindex, gated=g,
                                 plan=plans.get(k),
-                                rep_copy_sets=per_mod.get(k))
+                                rep_copy_sets=per_mod.get(k), mesh=mesh)
         return out
 
     modules = ckpt.run("modules", _modules_stage)
@@ -360,12 +371,14 @@ def run_pipeline(
                     from hite_tpu.models.trainer import load_params
                     cnn_params = load_params(path)
             kept = deep_filter_records(
-                genome, res.records, cfg, gindex, cnn_params=cnn_params)
+                genome, res.records, cfg, gindex, cnn_params=cnn_params,
+                mesh=mesh)
             # FiLTR cross-class filters: repeat pairs masquerading as LTRs
             # re-route their terminals to the TIR/Helitron/SINE libraries
             # (LTR_filter.py:175-200 -> confident_*_from_ltr.fa)
             from hite_tpu.pipeline.ltr_deep import cross_class_filter
-            kept, pools = cross_class_filter(genome, kept, cfg, gindex)
+            kept, pools = cross_class_filter(genome, kept, cfg, gindex,
+                                             mesh=mesh)
             res = LTRResult(records=kept, cross_class=pools)
             # NeuralTE-equivalent superfamily call on the intact elements
             # (judge_LTR_transposons.py:251-264)
@@ -395,6 +408,7 @@ def run_pipeline(
         if out_dir:
             write_annotation(os.path.join(out_dir, "genome"), hits, genome)
         result.metrics["annotation_hits"] = len(hits)
+        result.annotation = hits
 
     # stage 6: domain table (--domain; reference get_domain_info output)
     if cfg.domain and libs.get("merged"):

@@ -101,8 +101,13 @@ def prepare_families(genome: Genome, gated: np.ndarray,
     # (73/78 of test.ref at 0.35), and a distinct family absorbed as a
     # rep's "alternate" is only mapped if the rep fails — a recall bug.
     # k=8 + thresh 0.1 groups same-family copies to ~18% divergence while
-    # unrelated pairs sit at J~0.01.
-    sim_groups = _kmer_sketch_groups(seqs, k=8, thresh=0.1)
+    # unrelated pairs sit at J~0.01.  GREEDY linkage (cd-hit semantics):
+    # single linkage let chimeric candidates (chains bridging two
+    # adjacent planted copies of DIFFERENT families — common on dense
+    # genomes) transitively merge whole families into one group with one
+    # rep, silently dropping the others from the library.
+    sim_groups = _kmer_sketch_groups(seqs, k=8, thresh=0.1,
+                                     linkage="greedy")
     group_members: dict = {}
     for i, g in enumerate(sim_groups):
         group_members.setdefault(int(g), []).append(i)
@@ -133,11 +138,14 @@ def verify_families(
     min_coverage: float = 0.9,
     plan: Optional[VerifyPlan] = None,
     rep_copy_sets: Optional[List[List[CopyHit]]] = None,
+    mesh=None,
 ) -> ModuleResult:
     """Run the shared verification pipeline on gated candidate intervals.
 
     `plan` + `rep_copy_sets` inject phase-1 results whose representative
-    copies were fetched in a shared multi-module join (see VerifyPlan)."""
+    copies were fetched in a shared multi-module join (see VerifyPlan).
+    With `mesh`, the batched family analyses shard their family axis
+    over the mesh (bit-identical results)."""
     if len(gated) == 0:
         return empty_result()
     gindex = gindex or GenomeIndex(genome, cfg.align)
@@ -256,7 +264,8 @@ def verify_families(
                 continue
             batch, pending = pending, []
             analyses = analyze_families_batched(
-                genome, [(it[1], it[2]) for it in batch], cfg.msa)
+                genome, [(it[1], it[2]) for it in batch], cfg.msa,
+                mesh=mesh)
             for (g, interval, copies, rnd), pre in zip(batch, analyses):
                 st = family_state[g]
                 result = adjust_candidate(genome, interval, copies, cfg.msa,

@@ -36,8 +36,9 @@ def test_bundled_checkpoint_accuracy_on_curated_eval_fold():
     model = SuperfamilyCNN()
     X, y, names = curated_dataset(fold="eval")
     m = evaluate(model, params, X, y)
-    # floor: must beat random (19 mapped label kinds) by a wide margin on
-    # held-out real families; measured ~0.6-0.8 accuracy at training time
-    # (numbers recorded in DESIGN.md "Classifier on real data")
-    assert m["accuracy"] >= 0.5, m
-    assert m["f1"] > 0.2, m
+    # measured-minus-epsilon floors (VERDICT r3 #6): the bundled
+    # checkpoint measures acc 0.630 / macro-F1 0.461 on this fold
+    # (per-class table in DESIGN.md "Classifier on real data"); a
+    # regression to half the measured quality must FAIL, not pass
+    assert m["accuracy"] >= 0.6, m
+    assert m["f1"] >= 0.4, m

@@ -63,10 +63,12 @@ def test_harvest_seeds_are_exact_repeats():
 def test_retriever_filter_requires_tsd_or_motif():
     rng = np.random.default_rng(52)
     bg = rng.integers(0, 4, 4_000).astype(np.uint8)
-    # record A: TG...CA motif at its ends, no TSD
+    # record A: TG...CA motif at its ends, no TSD; near-identical LTR pair
+    bg[1750:2000] = bg[1000:1250]
     bg[1000], bg[1001] = 3, 2
     bg[1998], bg[1999] = 1, 0
-    # record B (2500..3400): guarantee NO motif and no TSD
+    # record B (2500..3400): identical LTR pair but NO motif and no TSD
+    bg[3200:3400] = bg[2500:2700]
     bg[2500], bg[2501] = 0, 0
     bg[3398], bg[3399] = 3, 3
     bg[2494:2500] = np.array([0, 1, 2, 3, 0, 1], np.uint8)
@@ -76,6 +78,31 @@ def test_retriever_filter_requires_tsd_or_motif():
     rec_b = LTRRecord(2500, 3400, 2500, 2700, 3200, 3400, 0.95, 1e6)
     kept = retriever_filter(genome, [rec_a, rec_b])
     assert rec_a in kept and rec_b not in kept
+
+
+def test_retriever_filter_rejects_misaligned_termini():
+    """LTR_retriever's boundary-agreement check (`Util.py:697-704`,
+    ltrharvest -vic): a HIGH-IDENTITY pair whose reported boundaries are
+    shifted into the flanks aligns at an internal offset, not
+    end-to-end, and must be rejected even though TSD/motif look fine."""
+    rng = np.random.default_rng(53)
+    bg = rng.integers(0, 4, 6_000).astype(np.uint8)
+    ltr = rng.integers(0, 4, 250).astype(np.uint8)
+    ltr[0], ltr[1], ltr[-2], ltr[-1] = 3, 2, 1, 0
+    # true element: LTRs at 1000..1250 and 2750..3000
+    bg[1000:1250] = ltr
+    bg[2750:3000] = ltr
+    genome = Genome.from_dict({"chr1": bg})
+
+    good = LTRRecord(1000, 3000, 1000, 1250, 2750, 3000, 0.98, 1e5,
+                     tsd_len=5)
+    # boundaries shifted 60 bp into the left flank / right interior: the
+    # underlying repeat is still there (high identity on the overlap)
+    # but lLTR-vs-rLTR only aligns at an internal 60 bp offset
+    shifted = LTRRecord(940, 2940, 940, 1190, 2690, 2940, 0.98, 1e5,
+                        tsd_len=5)
+    kept = retriever_filter(genome, [good, shifted])
+    assert good in kept and shifted not in kept
 
 
 def test_pipeline_routes_legacy_path():

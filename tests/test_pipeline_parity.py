@@ -1,0 +1,18 @@
+"""Full-pipeline mesh parity on the 8-device virtual CPU mesh.
+
+The driver's `dryrun_multichip` runs the same check; this keeps it in CI
+so a sharding regression (batch-axis padding, sharded executable drift)
+fails a test rather than the driver contract.  Reference analog: the
+chunked Nextflow fan-out must recover the single-process result
+(`recover_split_annotation.py`).
+"""
+
+from __graft_entry__ import pipeline_parity
+from hite_tpu.parallel.mesh import make_mesh
+
+
+def test_full_pipeline_mesh_parity():
+    mesh = make_mesh(n_devices=8)
+    out = pipeline_parity(mesh)
+    assert out["library_entries"] > 0
+    assert out["annotation_hits"] > 0
