@@ -93,10 +93,15 @@ def annotate_genome(
     seqs = [library[n] for n in names]
 
     with stage_timer("annotate.map"):
+        # min_abs_len: RepeatMasker hit semantics — keep LOCAL fragment
+        # hits >= min_te_len bp even below min_hit_fraction of the entry,
+        # so single-unit copies annotate against tandem-dimer / nested
+        # composite entries and truncated copies against their family
         copy_sets = finder.find_copies(
             seqs, min_coverage=min_hit_fraction,
             max_copies=10_000 // max(len(names), 1) + 200,
-            max_len_ratio=1.5)
+            max_len_ratio=1.5,
+            min_abs_len=max(80, cfg.library.min_te_len))
 
     hits: List[AnnotationHit] = []
     rescore_pairs: List[Tuple[np.ndarray, np.ndarray]] = []

@@ -286,8 +286,16 @@ class CopyFinder:
         min_coverage: float = 0.95,
         max_copies: int = 100,
         max_len_ratio: float = 1.2,
+        min_abs_len: int = 0,
     ) -> List[List[CopyHit]]:
-        """Return up to max_copies full-length CopyHits per candidate."""
+        """Return up to max_copies full-length CopyHits per candidate.
+
+        `min_abs_len > 0` ADDITIONALLY keeps local fragment hits of at
+        least that many bp even below `min_coverage` of the candidate —
+        RepeatMasker hit semantics for the annotation consumer (a
+        single-unit genomic copy must still annotate against a
+        tandem-dimer or nested-composite library entry, and truncated
+        copies against their full-length family)."""
         idx = self.index
         cfg = idx.cfg
         out: List[List[CopyHit]] = [[] for _ in cand_seqs]
@@ -296,7 +304,7 @@ class CopyFinder:
         if self.strategy == "join":
             return self._find_copies_join(
                 cand_seqs, min_coverage=min_coverage, max_copies=max_copies,
-                max_len_ratio=max_len_ratio)
+                max_len_ratio=max_len_ratio, min_abs_len=min_abs_len)
         from hite_tpu.pipeline.candidates import pad_rows
         n_rows = pad_rows(len(cand_seqs), min_rows=max(4, self._batch_multiple))
         m = self._batch_multiple
@@ -314,9 +322,15 @@ class CopyFinder:
             keep = cand < len(cand_seqs)
             lf = lens_f[np.minimum(cand, len(cand_seqs) - 1)]
             slen = se - ss
-            keep &= (qe - qs) >= min_coverage * lf
-            keep &= slen >= min_coverage * lf
-            keep &= slen <= max_len_ratio * lf
+            full = ((qe - qs) >= min_coverage * lf) \
+                & (slen >= min_coverage * lf) & (slen <= max_len_ratio * lf)
+            if min_abs_len:
+                qlen_r = qe - qs
+                frag = ((qlen_r >= min_abs_len) & (slen >= 0.7 * qlen_r)
+                        & (slen <= 1.5 * qlen_r))
+                keep &= full | frag
+            else:
+                keep &= full
             for i in np.nonzero(keep)[0]:
                 s0, s1 = int(ss[i]), int(se[i])
                 if strand[i] == 1:
@@ -395,6 +409,7 @@ class CopyFinder:
         min_coverage: float,
         max_copies: int,
         max_len_ratio: float,
+        min_abs_len: int = 0,
     ) -> List[List[CopyHit]]:
         """Sort-merge join copy retrieval (see ops/libjoin.py).
 
@@ -421,14 +436,15 @@ class CopyFinder:
         if len(waves) == 1:
             return self._find_copies_join_batch(
                 cand_seqs, min_coverage=min_coverage, max_copies=max_copies,
-                max_len_ratio=max_len_ratio)
+                max_len_ratio=max_len_ratio, min_abs_len=min_abs_len)
         logger.info("find_copies.join: %d candidates in %d similarity waves",
                     len(cand_seqs), len(waves))
         out: List[List[CopyHit]] = [[] for _ in cand_seqs]
         for _, idxs in sorted(waves.items()):
             sub = self._find_copies_join_batch(
                 [cand_seqs[i] for i in idxs], min_coverage=min_coverage,
-                max_copies=max_copies, max_len_ratio=max_len_ratio)
+                max_copies=max_copies, max_len_ratio=max_len_ratio,
+                min_abs_len=min_abs_len)
             for i, hits in zip(idxs, sub):
                 out[i] = hits
         return out
@@ -440,6 +456,7 @@ class CopyFinder:
         min_coverage: float,
         max_copies: int,
         max_len_ratio: float,
+        min_abs_len: int = 0,
     ) -> List[List[CopyHit]]:
         """One whole-genome k-mer join mapping a batch of candidates: two
         device sorts + budget-sliced fills, then exact FMEA chaining per
@@ -574,6 +591,9 @@ class CopyFinder:
                 keep = ((qlen >= min_coverage * lf)
                         & (slen >= min_coverage * lf)
                         & (slen <= max_len_ratio * lf))
+                if min_abs_len:
+                    keep |= ((qlen >= min_abs_len) & (slen >= 0.7 * qlen)
+                             & (slen <= 1.5 * qlen))
                 if not keep.any():
                     continue
                 ch = ch[keep]

@@ -219,15 +219,32 @@ def verify_families(
                                            -(gated[i, 1] - gated[i, 0])))
             for g, idxs in members.items()
         }
+        # universe: every candidate a group speaks for (reps + sim-group
+        # co-members).  A similarity group can hold SEVERAL true families
+        # (chimeric candidates attach distinct families to one founder on
+        # dense genomes) — after a group resolves, members NOT explained
+        # by the accepted family's genomic copies are PEELED into a fresh
+        # family attempt instead of being silently dropped with it
+        # (the reference's per-candidate loop never had this failure
+        # mode: it judges every cd-hit rep independently).
+        universe: dict = {}
+        for g, idxs in members.items():
+            seen_u: dict = {}
+            for rep in idxs:
+                for i in [rep] + alternates[g]:
+                    seen_u.setdefault(i, None)
+            universe[g] = list(seen_u)
         family_state: dict = {
             g: dict(order=(idxs + alternates[g])[:3], ai=0, low=None,
-                    done=None)
+                    done=None, done_copies=None, root=g,
+                    budget=3 + min(5, len(universe[g]) // 2))
             for g, idxs in ordered_members.items()
         }
+        tried: dict = {g: set() for g in ordered_members}
         pending: List[Tuple[int, Tuple[int, int], list, int]] = []
         fetch_queue: List[Tuple[int, Tuple[int, int], int]] = []
 
-        def on_copies(g: int, interval: Tuple[int, int], copies: list,
+        def on_copies(g, interval: Tuple[int, int], copies: list,
                       rnd: int) -> None:
             st = family_state[g]
             if len(copies) < min_copies:
@@ -237,16 +254,92 @@ def verify_families(
             else:
                 pending.append((g, interval, copies, rnd))
 
-        def begin_attempt(g: int) -> None:
+        def begin_attempt(g) -> None:
             st = family_state[g]
-            if st["done"] is not None or st["ai"] >= len(st["order"]):
+            root = st["root"]
+            if st["done"] is not None or st["ai"] >= len(st["order"]) \
+                    or family_state[root]["budget"] <= 0:
+                finish_group(g)
                 return
+            family_state[root]["budget"] -= 1
             rep = st["order"][st["ai"]]
+            tried[root].add(rep)
             interval = (int(gated[rep, 0]), int(gated[rep, 1]))
             if rep in copy_sets:
                 on_copies(g, interval, copy_sets[rep], 0)
             else:
                 fetch_queue.append((g, interval, 0))
+
+        def _kmer_set(s: np.ndarray, k: int = 16):
+            v = np.asarray(s, np.int64)
+            if len(v) < k:
+                return np.zeros(0, np.int64)
+            m = len(v) - k + 1
+            ok = np.ones(m, bool)
+            code = np.zeros(m, np.int64)
+            for j in range(k):
+                w = v[j : m + j]
+                ok &= w < 4
+                code = code * 4 + np.where(w < 4, w, 0)
+            return np.unique(code[ok])
+
+        def superstring_of_accepted(cons: np.ndarray) -> bool:
+            """True when `cons` largely CONTAINS an already-accepted
+            family's consensus while being much longer — the signature
+            of a chimeric candidate whose joint context happens to
+            repeat.  Peeled acceptances with this signature are rejected
+            (the tighter primary call wins; the chimera would otherwise
+            absorb it in library clustering)."""
+            if cons is None or len(cons) == 0:
+                return False
+            sk = _kmer_set(cons)
+            if not len(sk):
+                return False
+            for st2 in family_state.values():
+                done = st2["done"]
+                if done is None or done.consensus is None:
+                    continue
+                a = done.consensus
+                if len(cons) <= 1.3 * len(a):
+                    continue
+                ak = _kmer_set(a)
+                if len(ak) and np.isin(ak, sk).mean() >= 0.5:
+                    return True
+            return False
+
+        def finish_group(g) -> None:
+            """Terminal state: peel unexplained co-members into a new
+            family attempt (bounded by the root group's attempt budget)."""
+            st = family_state[g]
+            root = st["root"]
+            if family_state[root]["budget"] <= 0:
+                return
+            spans = []
+            if st["done"] is not None:
+                spans.append((st["done"].start, st["done"].end))
+                for h in st["done_copies"] or ():
+                    spans.append((h.start, h.end))
+            left = []
+            for i in universe[root]:
+                if i in tried[root]:
+                    continue
+                s, e = int(gated[i, 0]), int(gated[i, 1])
+                explained = any(
+                    min(e, pe) - max(s, ps) >= 0.5 * (e - s)
+                    for ps, pe in spans)
+                if explained:
+                    tried[root].add(i)
+                elif st["done"] is not None or not spans:
+                    left.append(i)
+            if not left:
+                return
+            order = sorted(left, key=lambda i: len(seqs[i]))
+            rep = order[(len(order) - 1) // 2]
+            sub = ("peel", root, len(family_state))
+            family_state[sub] = dict(order=[rep], ai=0, low=None,
+                                     done=None, done_copies=None,
+                                     root=root, budget=0)
+            begin_attempt(sub)
 
         for g in ordered_members:
             begin_attempt(g)
@@ -281,9 +374,18 @@ def verify_families(
                     new_interval = (result.start, result.end)
                     if (new_interval == interval
                             or rnd + 1 >= cfg.msa.boundary_rounds):
-                        if result.end - result.start >= \
+                        too_long = (isinstance(g, tuple)
+                                    and superstring_of_accepted(
+                                        result.consensus))
+                        if too_long:
+                            count("boundary.peel_superstring")
+                            st["ai"] += 1
+                            begin_attempt(g)
+                        elif result.end - result.start >= \
                                 cfg.library.min_te_len:
                             st["done"] = result
+                            st["done_copies"] = copies
+                            finish_group(g)
                         else:
                             st["ai"] += 1
                             begin_attempt(g)
@@ -296,14 +398,19 @@ def verify_families(
                             result.end - interval[1])
                         on_copies(g, new_interval, moved, rnd + 1)
 
-        for g in ordered_members:
+        for g in list(family_state):     # root groups + peeled subfamilies
             st = family_state[g]
             result = st["done"]
             if result is not None:
                 accepted.append((result.start, result.end))
                 consensus.append(result.consensus)
                 copy_counts.append(result.copy_count)
-            elif st["low"] is not None:
+            elif st["low"] is not None and not isinstance(g, tuple):
+                # peeled subs contribute ACCEPTED families only: a peel
+                # that turns out low-copy is a leftover chimera/fragment,
+                # and pooling it would hand structurally-plausible
+                # chimeras (outer TIR termini of two member copies) to
+                # the low-copy structural rescue
                 low_copy.append(st["low"])
 
     return ModuleResult(

@@ -16,12 +16,17 @@ Run alone (the axon tunnel serializes TPU clients):
 from __future__ import annotations
 
 import argparse
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+faulthandler.enable()                      # silent-death diagnosis
+faulthandler.register(signal.SIGUSR1)      # kill -USR1 <pid> dumps stacks
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -58,19 +63,23 @@ def build_pan_genomes(length: int):
         t[0], t[1], t[-2], t[-1] = 3, 2, 1, 0
         fams[f"LTR_{f}"] = ("LTR", np.concatenate(
             [t, rng.integers(0, 4, 2200).astype(np.uint8), t]))
-    # the rescue family: low-copy in g1, well-supported in g2/g3
-    t = rng.integers(0, 4, 20).astype(np.uint8)
-    while t[0] == 3 and t[1] == 2:
-        t = rng.integers(0, 4, 20).astype(np.uint8)
-    fams["TIR_rescue"] = ("TIR", np.concatenate(
-        [t, rng.integers(0, 4, 700).astype(np.uint8), (3 - t)[::-1]]))
+    # the rescue family: low-copy in g1, well-supported in g2/g3.
+    # SINE-like ON PURPOSE: a low-copy TIR candidate is structurally
+    # rescued IN-GENOME (it carries TIR termini), so the cross-genome
+    # path never fires for it; a SINE's only in-genome rescue channel is
+    # the protein scan against the upstream-missing LINEPeps.lib, so it
+    # reaches the pan rescue with its low-copy status intact
+    # (pan_recover_low_copy_TEs.py's central case).
+    fams["SINE_rescue"] = ("SINE", np.concatenate(
+        [rng.integers(0, 4, 360).astype(np.uint8),
+         np.zeros(14, np.uint8)]))
 
     base = {"TIR_0": 20, "TIR_1": 15, "TIR_2": 10, "HEL_0": 8,
             "SINE_0": 20, "SINE_1": 20, "LTR_0": 4, "LTR_1": 4}
     counts = {
-        "g1": dict(base, TIR_rescue=2),                 # rescue source
-        "g2": dict(base, TIR_rescue=6, SINE_1=0),       # SINE_1 absent
-        "g3": dict(base, TIR_rescue=6, LTR_1=0),        # LTR_1 absent
+        "g1": dict(base, SINE_rescue=2),                # rescue source
+        "g2": dict(base, SINE_rescue=6, SINE_1=0),      # SINE_1 absent
+        "g3": dict(base, SINE_rescue=6, LTR_1=0),       # LTR_1 absent
     }
 
     genomes, truths = {}, {}
@@ -123,7 +132,7 @@ def build_pan_genomes(length: int):
                          if cnt.get(n, 0) > 0},
         }
     expect = {"absent": {"g2": "SINE_1", "g3": "LTR_1"},
-              "rescue_family": "TIR_rescue"}
+              "rescue_family": "SINE_rescue"}
     return genomes, truths, expect
 
 
