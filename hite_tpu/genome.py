@@ -187,7 +187,7 @@ class Genome:
         genome.  Returns (device uint8 [Lp], true length L)."""
         import jax.numpy as jnp
 
-        from hite_tpu.ops.pack2 import pack_codes, unpack_device
+        from hite_tpu.ops.pack2 import pack_codes, unpack_device_chunked
 
         src = (self.masked if (use_masked and self.masked is not None)
                else self.flat)
@@ -208,7 +208,7 @@ class Genome:
                 packed[: len(src.packed)] = src.packed
                 nmask = np.full(Lp // 8, 0xFF, np.uint8)
                 nmask[: len(src.nmask)] = src.nmask
-            ent = unpack_device(jnp.asarray(packed), jnp.asarray(nmask))
+            ent = unpack_device_chunked(packed, nmask)
             self._device_cache[key] = ent
         return ent, L
 

@@ -169,3 +169,24 @@ def unpack_device(packed: jnp.ndarray, nmask: jnp.ndarray) -> jnp.ndarray:
     bits = jnp.stack([(m >> k) & 1 for k in range(8)], axis=-1).reshape(-1)
     L4 = base.shape[0]
     return jnp.where(bits[:L4] == 1, jnp.uint8(4), base.astype(jnp.uint8))
+
+
+def unpack_device_chunked(packed: np.ndarray, nmask: np.ndarray,
+                          chunk_out: int = 1 << 27) -> jnp.ndarray:
+    """Chunked device unpack for whole-genome uploads.
+
+    One fused unpack program at 2^29 output bytes allocates >16 GB of
+    HLO temps on v5e (the stack/reshape lowering materializes many
+    output-sized buffers — observed at the 400 Mbp tier); unpacking in
+    `chunk_out`-byte output chunks keeps each program's temps bounded
+    and the final device concatenate holds only 2x the output.
+    """
+    P4 = len(packed) * 4
+    if P4 <= chunk_out:
+        return unpack_device(jnp.asarray(packed), jnp.asarray(nmask))
+    parts = [
+        unpack_device(jnp.asarray(packed[o // 4 : (o + chunk_out) // 4]),
+                      jnp.asarray(nmask[o // 8 : (o + chunk_out) // 8]))
+        for o in range(0, P4, chunk_out)
+    ]
+    return jnp.concatenate(parts)

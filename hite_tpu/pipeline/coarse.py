@@ -209,14 +209,16 @@ def _selfjoin_intervals(
     if Lp <= C:
         return _selfjoin_chunk(flat_d, 0, cfg, p)
 
-    @jax.jit
-    def _slice(c0):
-        return jax.lax.dynamic_slice(flat_d, (c0,), (C,))
+    # slice via an ARGUMENT, never a closure: a closed-over device array
+    # becomes a jaxpr constant and the remote compile request ships it —
+    # at the 400 Mbp tier that is a 512 MB request body (HTTP 413)
+    from hite_tpu.pipeline.copies import _chunk_slicer
 
+    slicer = _chunk_slicer(C)
     out: List[np.ndarray] = []
     starts = _chunk_grid(L, C, halo)
     for c0 in starts:
-        iv = _selfjoin_chunk(_slice(jnp.int32(c0)), c0, cfg, p)
+        iv = _selfjoin_chunk(slicer(flat_d, jnp.int32(c0)), c0, cfg, p)
         if len(iv):
             out.append(iv)
     if not out:
@@ -270,6 +272,13 @@ def _selfjoin_intervals_mesh(
         n_pairs = np.asarray(n_pairs_d)
 
     slices = _sized_slices(int(n_pairs.max()), p)
+    if slices > SCAN_SLICES_PER_PROGRAM:
+        # the chunk-vmapped scan multiplies the per-slice temps by the
+        # chunk batch; window-looping it is future work — cap and warn
+        logger.warning(
+            "coarse.selfjoin.mesh: capping scan at %d slices (needed %d)",
+            SCAN_SLICES_PER_PROGRAM, slices)
+        slices = SCAN_SLICES_PER_PROGRAM
 
     scan_fn = jax.jit(jax.vmap(functools.partial(
         selfjoin_scan_packed, k=cfg.kmer_size, run_gap=p.run_gap,
@@ -287,6 +296,46 @@ def _selfjoin_intervals_mesh(
     if not out:
         return np.zeros((0, 2), dtype=np.int64)
     return np.concatenate(out)
+
+
+@functools.lru_cache(maxsize=8)
+def _stream_slicer(size: int):
+    """Jitted sorted-stream window slice (argument-passed, cached)."""
+    return jax.jit(lambda a, s0: jax.lax.dynamic_slice(a, (s0,), (size,)))
+
+
+# scan slices per PROGRAM: the vmapped scan's temps scale linearly with
+# the slice count (~15 x K x max_seed_pairs x 4 B — K=256 wants 16.5 GB
+# of HBM, observed OOM at the 400 Mbp tier), so auto-scaled slice counts
+# past this run as a host loop of windows over the SAME compiled program
+SCAN_SLICES_PER_PROGRAM = 64
+
+
+def _scan_windowed(s_dbin, s_qpos, s_spos, n_pairs_d, slices: int,
+                   cfg: AlignConfig, p: CoarseParams) -> np.ndarray:
+    """selfjoin_scan_packed over `slices` budget slices, windowed so no
+    single program exceeds SCAN_SLICES_PER_PROGRAM slices of HBM temps.
+    A run crossing a window boundary splits into two HSPs, which the
+    downstream FMEA chaining re-merges — same contract as the in-program
+    slice boundaries."""
+    from hite_tpu.ops.selfjoin import selfjoin_scan_packed
+
+    W = SCAN_SLICES_PER_PROGRAM
+    kw = dict(k=cfg.kmer_size, run_gap=p.run_gap, min_seeds=p.min_seeds,
+              min_hsp_len=cfg.min_hsp_len, max_hsps=p.max_hsps_global,
+              max_seed_pairs=p.max_seed_pairs)
+    if slices <= W:
+        return np.asarray(selfjoin_scan_packed(
+            s_dbin, s_qpos, s_spos, n_pairs_d, budget_slices=slices, **kw))
+    S = p.max_seed_pairs
+    slicer = _stream_slicer(W * S)
+    outs = []
+    for w0 in range(0, slices, W):
+        start = jnp.int32(min(w0 * S, max(0, s_qpos.shape[0] - W * S)))
+        sub = [slicer(a, start) for a in (s_dbin, s_qpos, s_spos)]
+        outs.append(np.asarray(selfjoin_scan_packed(
+            sub[0], sub[1], sub[2], n_pairs_d, budget_slices=W, **kw)))
+    return np.concatenate(outs, axis=1)
 
 
 def _sized_slices(n_pairs: int, p: CoarseParams) -> int:
@@ -361,11 +410,8 @@ def _selfjoin_chunk(
             diag_band=p.diag_band)
         n_pairs = int(n_pairs_d)
         slices = _sized_slices(n_pairs, p)
-        packed = np.asarray(selfjoin_scan_packed(
-            s_dbin, s_qpos, s_spos, n_pairs_d, k=cfg.kmer_size,
-            run_gap=p.run_gap, min_seeds=p.min_seeds,
-            min_hsp_len=cfg.min_hsp_len, max_hsps=p.max_hsps_global,
-            max_seed_pairs=p.max_seed_pairs, budget_slices=slices))
+        packed = _scan_windowed(s_dbin, s_qpos, s_spos, n_pairs_d,
+                                slices, cfg, p)
 
     with stage_timer("coarse.chain"):
         # chain forward-subject and rc-subject HSPs separately (virtual

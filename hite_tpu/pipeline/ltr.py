@@ -174,9 +174,15 @@ def ltr_pair_candidates(
     else:
         from hite_tpu.pipeline.coarse import _chunk_grid
 
-        @jax.jit
+        from hite_tpu.pipeline.copies import _chunk_slicer
+
+        # argument-passed slice: a closed-over device array becomes a
+        # jaxpr constant shipped with the remote compile request
+        # (HTTP 413 at the 400 Mbp tier)
+        _sl = _chunk_slicer(cap)
+
         def _slice(c0):
-            return jax.lax.dynamic_slice(flat_d, (c0,), (cap,))
+            return _sl(flat_d, c0)
 
         for c0 in _chunk_grid(L, cap, halo):
             one_chunk(_slice(jnp.int32(c0)), c0, cap)

@@ -60,15 +60,25 @@ def make_nonltr_judge(cfg: PipelineConfig):
                     continue
                 end_col = zone_lo + run_end           # exclusive tail end
                 hit = False
+                # +-4 bp left-boundary slack: the family-level homology
+                # break is fuzzy by a few bp when rows coincidentally
+                # agree just outside the element (judge_boundary_v9
+                # likewise scans a vicinity, Util.py:11163-11230); an
+                # exact-bl TSD window then pairs element bases against
+                # the flank and every row's vote dies at once
                 for s in range(ncfg.tsd_min, ncfg.tsd_max + 1):
-                    if bl - s < 0 or end_col + s > L:
-                        continue
-                    left = M[r, bl - s : bl]
-                    right = M[r, end_col : end_col + s]
-                    if (left >= 4).any() or (right >= 4).any():
-                        continue
-                    if int((left != right).sum()) <= 1:
-                        hit = True
+                    for dl in (0, -1, 1, -2, 2, -3, 3, -4, 4):
+                        b0 = bl + dl
+                        if b0 - s < 0 or end_col + s > L:
+                            continue
+                        left = M[r, b0 - s : b0]
+                        right = M[r, end_col : end_col + s]
+                        if (left >= 4).any() or (right >= 4).any():
+                            continue
+                        if int((left != right).sum()) <= 1:
+                            hit = True
+                            break
+                    if hit:
                         break
                 if hit:
                     votes += 1
