@@ -69,14 +69,19 @@ def test_sharded_different_mesh_shapes():
                                   np.sort(ref, axis=0)), (dp, tp)
         print("MESH_SHAPE_PARITY_OK")
     """)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        xla_flags = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
     env = dict(os.environ,
                JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+               XLA_FLAGS=xla_flags,
+               PYTHONPATH=repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""))
     proc = subprocess.run(
         [sys.executable, "-c",
          "import jax; jax.config.update('jax_platforms', 'cpu')\n" + body],
         env=env, capture_output=True, text=True, timeout=600,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        cwd=repo_root)
     assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
     assert "MESH_SHAPE_PARITY_OK" in proc.stdout
 
