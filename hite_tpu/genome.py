@@ -172,7 +172,11 @@ class Genome:
                 self.masked[s:e] = CODE_N
                 total += e - s
         if total:
-            self._device_cache.pop(("flat_pow2", True), None)
+            # drop every device buffer derived from the MASKED stream
+            # (flat upload + sorted join index); unmasked variants stay
+            for key in [k for k in self._device_cache
+                        if len(k) > 1 and k[1] is True]:
+                self._device_cache.pop(key, None)
         return total
 
     def device_flat_padded(self, use_masked: bool = False):

@@ -181,6 +181,131 @@ def libjoin_pairs(
     return s_cand, s_dbin, s_qpos, s_spos, jnp.stack([n_total, n_emit])
 
 
+@partial(jax.jit, static_argnames=("k",))
+def libjoin_genome_sorted(flat: jnp.ndarray, *, k: int):
+    """One-time genome-side preparation for INDEXED joins.
+
+    Returns (g_code, g_pos, g_ord): the two-strand genome k-mer stream
+    (forward + revcomp at virtual offset L, the `libjoin_pairs`
+    convention) sorted by (code, pos), plus each entry's 0-based
+    occurrence ordinal within its equal-code run.  The genome side of
+    every `libjoin_pairs` call is IDENTICAL across calls — re-sorting
+    the 2L-element stream per copy-retrieval wave dominated the
+    boundary_adjust stages (~86% of their wall in the round-5 profile);
+    amortizing it here turns each wave into candidate-sized work
+    (`libjoin_pairs_indexed`).
+    """
+    km_f = kmer_codes(flat, k)
+    km_r = kmer_codes(revcomp(flat), k)
+    padk = jnp.full((k - 1,), -1, jnp.int32)
+    g_codes = jnp.concatenate([km_f, padk, km_r, padk])          # [2L]
+    n = g_codes.shape[0]
+    code = jnp.where(g_codes < 0, INT32_MAX, g_codes)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    code, pos = jax.lax.sort((code, pos), num_keys=2)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), code[:-1]])
+    run_start = jax.lax.cummax(jnp.where(code != prev, idx, -1))
+    return code, pos, idx - run_start
+
+
+@partial(jax.jit, static_argnames=(
+    "k", "diag_band", "fill_w", "max_occ", "slice_size", "slice_quota"))
+def libjoin_pairs_indexed(
+    g_code: jnp.ndarray,
+    g_pos: jnp.ndarray,
+    g_ord: jnp.ndarray,
+    cand_flat: jnp.ndarray,
+    cand_id: jnp.ndarray,
+    *,
+    k: int,
+    diag_band: int = 32,
+    fill_w: int = 2,
+    max_occ: int = 1024,
+    slice_size: int = 1 << 20,
+    slice_quota: int = 1 << 19,
+):
+    """`libjoin_pairs` against a pre-sorted genome stream (same contract).
+
+    The joint (genome + candidate) sort is replaced by: sort the
+    candidate k-mers alone (tiny), then binary-search each genome
+    entry's equal-code candidate run bound (`searchsorted`, log2(Pk)
+    vectorized steps into a VMEM-resident array).  Pair emission keeps
+    `libjoin_pairs`' exact semantics — every genome occurrence (first
+    `max_occ` per code run) pairs with its run's last `fill_w`
+    candidate entries — so the emitted pair SET is identical when no
+    per-slice quota saturates, and the (cand, dbin, qpos, spos) output
+    sort makes downstream order deterministic either way.
+    """
+    ck = kmer_codes(cand_flat, k)                                # [Pk]
+    Pk = ck.shape[0]
+    cid = cand_id[:Pk].astype(jnp.int32)
+    ccode = jnp.where(ck < 0, INT32_MAX, ck)
+    cpos = jax.lax.broadcasted_iota(jnp.int32, (Pk, 1), 0).squeeze(-1)
+    ccode, cpos, ccid = jax.lax.sort((ccode, cpos, cid), num_keys=2)
+
+    n = g_code.shape[0]
+    hi = jnp.searchsorted(ccode, g_code, side="right").astype(jnp.int32)
+    base_ok = (g_code != INT32_MAX) & (g_ord < max_occ)
+
+    S = min(slice_size, _pow2_ceil(n))
+    K = -(-n // S)
+    pad = K * S - n
+
+    def padded(a, padv):
+        if pad:
+            a = jnp.concatenate([a, jnp.full((pad,), padv, a.dtype)])
+        return a.reshape(K, S)
+
+    code_s = padded(g_code, INT32_MAX)
+    pos_s = padded(g_pos, 0)
+    hi_s = padded(hi, 0)
+    ok_s = padded(base_ok, False)
+
+    q = min(slice_quota, fill_w * S)
+    if fill_w == 1:
+        quotas = [q]
+    else:
+        q0 = q // 2
+        qw = max(1, (q - q0) // (fill_w - 1))
+        quotas = [q0] + [qw] * (fill_w - 1)
+
+    def one_slice(code, pos, hi, ok):
+        outs = []
+        count = jnp.int32(0)
+        emitted = jnp.int32(0)
+        for w, qw_ in enumerate(quotas):
+            j = hi - 1 - w
+            jc = jnp.clip(j, 0, Pk - 1)
+            okw = ok & (j >= 0) & (jnp.take(ccode, jc) == code)
+            cw = jnp.sum(okw.astype(jnp.int32))
+            count = count + cw
+            emitted = emitted + jnp.minimum(cw, qw_)
+            (sel,) = jnp.nonzero(okw, size=qw_, fill_value=0)
+            keep = jax.lax.broadcasted_iota(
+                jnp.int32, (qw_, 1), 0).squeeze(-1) < cw
+            outs.append((jnp.where(keep, jnp.take(ccid, jc)[sel], INT32_MAX),
+                         jnp.where(keep, jnp.take(cpos, jc)[sel], INT32_MAX),
+                         jnp.where(keep, pos[sel], 0)))
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]),
+                jnp.concatenate([o[2] for o in outs]),
+                count, emitted)
+
+    p_cand, p_qpos, p_spos, counts, emits = jax.vmap(
+        one_slice, in_axes=(0, 0, 0, 0))(code_s, pos_s, hi_s, ok_s)
+    n_total = jnp.sum(counts)
+    n_emit = jnp.sum(emits)
+    p_cand = p_cand.reshape(-1)
+    p_qpos = p_qpos.reshape(-1)
+    p_spos = p_spos.reshape(-1)
+    valid = p_cand != INT32_MAX
+    dbin = jnp.where(valid, (p_spos - p_qpos) // diag_band, INT32_MAX)
+    s_cand, s_dbin, s_qpos, s_spos = jax.lax.sort(
+        (p_cand, dbin, p_qpos, p_spos), num_keys=4)
+    return s_cand, s_dbin, s_qpos, s_spos, jnp.stack([n_total, n_emit])
+
+
 @partial(jax.jit, static_argnames=(
     "k", "run_gap", "min_seeds", "min_hsp_len", "max_hsps",
     "max_seed_pairs", "budget_slices"))

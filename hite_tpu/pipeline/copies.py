@@ -464,7 +464,10 @@ class CopyFinder:
         the per-(segment, candidate-block) lookup grid that dominated the
         8Mbp pipeline stage map (DESIGN.md)."""
         from hite_tpu.ops.chain import chain_hsps_host
-        from hite_tpu.ops.libjoin import libjoin_pairs, libjoin_scan_packed
+        from hite_tpu.ops.libjoin import (
+            libjoin_genome_sorted, libjoin_pairs, libjoin_pairs_indexed,
+            libjoin_scan_packed,
+        )
         from hite_tpu.pipeline.candidates import pad_rows
 
         idx = self.index
@@ -500,7 +503,7 @@ class CopyFinder:
             cand_id_d = jax.device_put(cand_id_d, repl)
         lens_f = np.maximum(lens.astype(np.float64), 1)
 
-        def _one_chunk(chunk_d, c0: int, Cl: int) -> None:
+        def _one_chunk(chunk_d, c0: int, Cl: int, g_sorted=None) -> None:
             # per-slice quota auto-scales: a dense chunk whose seed pairs
             # overflow the quota RETRIES with a doubled quota (pow2
             # ladder, <=2 extra compile variants) instead of silently
@@ -508,11 +511,23 @@ class CopyFinder:
             # selfjoin's budget saturation (VERDICT r3 weak #5)
             quota = self._join_quota
             for _attempt in range(3):
-                s_cand, s_dbin, s_qpos, s_spos, counts_d = libjoin_pairs(
-                    chunk_d, cand_flat_d, cand_id_d, k=k,
-                    diag_band=self.diag_band, fill_w=self._join_fill_w,
-                    max_occ=self._join_max_occ, slice_size=self._join_slice,
-                    slice_quota=quota)
+                if g_sorted is not None:
+                    # indexed path: the genome-side sort is amortized into
+                    # `g_sorted` (built once per genome; see libjoin_
+                    # genome_sorted) — each wave pays candidate-sized work
+                    s_cand, s_dbin, s_qpos, s_spos, counts_d = \
+                        libjoin_pairs_indexed(
+                            *g_sorted, cand_flat_d, cand_id_d, k=k,
+                            diag_band=self.diag_band,
+                            fill_w=self._join_fill_w,
+                            max_occ=self._join_max_occ,
+                            slice_size=self._join_slice, slice_quota=quota)
+                else:
+                    s_cand, s_dbin, s_qpos, s_spos, counts_d = libjoin_pairs(
+                        chunk_d, cand_flat_d, cand_id_d, k=k,
+                        diag_band=self.diag_band, fill_w=self._join_fill_w,
+                        max_occ=self._join_max_occ,
+                        slice_size=self._join_slice, slice_quota=quota)
                 n_total, n_emit = (int(x) for x in np.asarray(counts_d))
                 if n_total <= n_emit or quota >= 4 * self._join_quota:
                     break
@@ -583,6 +598,21 @@ class CopyFinder:
                 ch = chain_hsps_host(
                     g_qs, g_qe, g_ss, g_se,
                     extend_threshold=T_ci, min_len=50, diag_tol=T_ci)
+                if min_abs_len:
+                    # RepeatMasker-mode second pass with a TIGHT diagonal
+                    # tolerance: at a head-to-tail tandem array the loose
+                    # pass merges adjacent units' seeds into one
+                    # diagonal-jumping chain (slen ~ k units x qlen) that
+                    # the max_len_ratio filter then kills — the array
+                    # annotates as NOTHING.  Tight chains stay per unit
+                    # and survive as fragment hits; near-duplicates of
+                    # loose chains collapse in _dedup_cap.
+                    ch2 = chain_hsps_host(
+                        g_qs, g_qe, g_ss, g_se,
+                        extend_threshold=T_ci, min_len=50,
+                        diag_tol=self.run_gap)
+                    if len(ch2):
+                        ch = np.concatenate([ch, ch2]) if len(ch) else ch2
                 if not len(ch):
                     continue
                 lf = lens_f[ci]
@@ -627,7 +657,23 @@ class CopyFinder:
 
             flat_d = jax.device_put(flat_d, NamedSharding(self.mesh, P()))
         if Lp <= self.max_libjoin_bp:
-            _one_chunk(flat_d, 0, Lp)
+            # single-chunk genomes get the INDEXED join: the sorted
+            # two-strand k-mer stream is built once and cached on the
+            # genome's device-cache (copy-retrieval waves in the
+            # boundary-adjust loops were each paying the 2L-element sort)
+            ck = ("join_sorted", idx.use_masked, k,
+                  None if self.mesh is None else id(self.mesh))
+            g_sorted = idx.genome._device_cache.get(ck)
+            if g_sorted is None:
+                g_sorted = libjoin_genome_sorted(flat_d, k=k)
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    repl = NamedSharding(self.mesh, P())
+                    g_sorted = tuple(jax.device_put(a, repl)
+                                     for a in g_sorted)
+                idx.genome._device_cache[ck] = g_sorted
+            _one_chunk(flat_d, 0, Lp, g_sorted=g_sorted)
         else:
             # HBM-bounded chunks with halo, like the coarse selfjoin: any
             # copy lies whole in at least one chunk; cross-chunk duplicates

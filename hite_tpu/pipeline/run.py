@@ -130,6 +130,17 @@ def _structural_rescue_tir_mask(genome: Genome, cfg: PipelineConfig,
                     _short_tir_signature(seqs[i], sz, cfg.plant):
                 rescued[i] = True
                 break
+    # LTR-signature veto (the structural gate's TG...CA skip,
+    # Util.py:7822, re-applied here): a TG...CA candidate is an intact
+    # LTR element — rescuing it hands the LTR family to the TIR library
+    # and its masked loci never reach the LTR stage (measured: a full
+    # planted LTR element rescued via a chance >=10bp inverted end-match
+    # on the hard bench substrate killed the whole LTR family)
+    for i in np.nonzero(rescued)[0]:
+        s = seqs[i]
+        if len(s) >= 400 and s[0] == 3 and s[1] == 2 \
+                and s[-2] == 1 and s[-1] == 0:
+            rescued[i] = False
     return rescued
 
 
@@ -294,7 +305,10 @@ def run_pipeline(
 
         plans = {k: prepare_families(genome, g, cfg)
                  for k, g in gates.items() if len(g)}
-        union = [(k, i) for k, pl in plans.items() for i in pl.rep_idx]
+        # reps + first alternates per similarity group: the extras ride
+        # the same genome-side-dominated join, and their presence removes
+        # the lazy per-wave alternate joins inside the boundary loops
+        union = [(k, i) for k, pl in plans.items() for i in pl.prefetch_idx]
         per_mod: Dict[str, list] = {k: [] for k in plans}
         if union:
             with stage_timer("modules.copies"):

@@ -113,7 +113,18 @@ def make_tir_judge(plant: bool):
                - vbest.astype(np.int64) * 1_000 + shift_cost)
         key = np.where(pair_ok, key, np.iinfo(np.int64).max)
         i, j = np.unravel_index(np.argmin(key), key.shape)
-        return True, int(bls[i]), int(brs[j])
+        bl, br = int(bls[i]), int(brs[j])
+        # LTR-signature rejection at the judge (the structural gate's
+        # TG...CA skip, Util.py:7822, applied to the FAMILY consensus):
+        # a full LTR element with a genuine TSD and a chance <=1-mismatch
+        # inverted terminal 5-mer otherwise passes as a TIR family, its
+        # loci get masked before the LTR stage, and the real LTR family
+        # is lost (measured: two of four planted LTR families annexed by
+        # the TIR module on the hard bench substrate).
+        if br - bl >= 400 and cons[bl] == 3 and cons[bl + 1] == 2 \
+                and cons[br - 2] == 1 and cons[br - 1] == 0:
+            return False, fa.left_pos, fa.right_pos
+        return True, bl, br
 
     return judge
 

@@ -22,7 +22,7 @@ from hite_tpu.pipeline.boundary_adjust import (
 from hite_tpu.pipeline.candidates import CandidateSet
 from hite_tpu.pipeline.cluster import cluster_by_copies
 from hite_tpu.pipeline.copies import CopyFinder, CopyHit, GenomeIndex
-from hite_tpu.utils.log import logger, stage_timer
+from hite_tpu.utils.log import count, logger, stage_timer
 
 
 def shift_copies(genome: Genome, copies: List[CopyHit], dl: int,
@@ -81,6 +81,18 @@ class VerifyPlan:
     sim_groups: List[int]
     group_members: dict
     rep_idx: List[int]
+    # rep_idx plus each similarity group's first ~2 ALTERNATE attempts
+    # (by closeness to group median length — the order the boundary loop
+    # will try them).  Fetching these in the ONE shared upfront join is
+    # nearly free (join cost is genome-side dominated) and removes the
+    # per-wave whole-genome joins the lazy alternate fetches paid inside
+    # every module's boundary_adjust loop (round-5 profile: ~86% of the
+    # three stages' wall was those joins).
+    prefetch_idx: List[int] = field(default_factory=list)
+    # sim-group -> co-members ordered closest-to-group-median-length
+    # first; verify_families consumes this as the alternate attempt order
+    # so the prefetched members above are exactly the ones attempted
+    group_alt_order: dict = field(default_factory=dict)
 
 
 def prepare_families(genome: Genome, gated: np.ndarray,
@@ -121,9 +133,25 @@ def prepare_families(genome: Genome, gated: np.ndarray,
 
     rep_of_group = {g: _median_member(idxs)
                     for g, idxs in group_members.items()}
+    rep_idx = sorted(rep_of_group.values())
+    # per-group ALTERNATE attempt order (closest to group median length
+    # first): verify_families uses exactly this order, so prefetching
+    # each group's first two alternates into the shared upfront join
+    # guarantees attempts 0-2 never pay an in-loop whole-genome join
+    # (only data-dependent peel attempts fetch lazily)
+    group_alt_order: dict = {}
+    prefetch = set(rep_idx)
+    for g, idxs in group_members.items():
+        rep = rep_of_group[g]
+        alts = [i for i in idxs if i != rep]
+        med = np.median([len(seqs[i]) for i in alts]) if alts else 0
+        order = sorted(alts, key=lambda i: abs(len(seqs[i]) - med))
+        group_alt_order[g] = order
+        prefetch.update(order[:2])
     return VerifyPlan(gated=gated, seqs=seqs, sim_groups=sim_groups,
-                      group_members=group_members,
-                      rep_idx=sorted(rep_of_group.values()))
+                      group_members=group_members, rep_idx=rep_idx,
+                      prefetch_idx=sorted(prefetch),
+                      group_alt_order=group_alt_order)
 
 
 def verify_families(
@@ -158,27 +186,35 @@ def verify_families(
     group_members = plan.group_members
     rep_idx = plan.rep_idx
 
+    # the fetch set covers reps AND each group's first alternates (see
+    # VerifyPlan.prefetch_idx); `rep_copy_sets` (when injected by the
+    # shared multi-module join) is aligned with it
+    fetch_idx = plan.prefetch_idx or rep_idx
     if rep_copy_sets is None:
         with stage_timer(f"{stage}.copies"):
             rep_copy_sets = finder.find_copies(
-                [seqs[i] for i in rep_idx],
+                [seqs[i] for i in fetch_idx],
                 min_coverage=min_coverage, max_copies=cfg.msa.max_copies)
-    copy_sets: dict = dict(zip(rep_idx, rep_copy_sets))
+    copy_sets: dict = dict(zip(fetch_idx, rep_copy_sets))
 
-    groups = cluster_by_copies(rep_copy_sets)
+    groups = cluster_by_copies([copy_sets[i] for i in rep_idx])
     members: dict = {}
     for gi, g in enumerate(groups):
         members.setdefault(int(g), []).append(rep_idx[gi])
     # alternates: same-similarity-group co-members of each family's reps,
-    # tried only if every representative fails (copies fetched lazily)
+    # tried only if every representative fails.  The order interleaves
+    # each rep's PER-SIM-GROUP median-closeness order (VerifyPlan.
+    # group_alt_order) — the same order whose first two members the
+    # shared upfront join prefetched, so attempts 0-2 never trigger an
+    # in-loop whole-genome join
     alternates: dict = {}
     for g, idxs in members.items():
-        alts = []
+        seen_a: dict = {}
         for rep in idxs:
-            alts.extend(i for i in group_members[sim_groups[rep]]
-                        if i != rep)
-        med = (np.median([len(seqs[i]) for i in alts]) if alts else 0)
-        alternates[g] = sorted(alts, key=lambda i: abs(len(seqs[i]) - med))
+            for i in plan.group_alt_order.get(sim_groups[rep], ()):
+                if i not in seen_a and i not in idxs:
+                    seen_a[i] = None
+        alternates[g] = list(seen_a)
 
     # PREFETCH alternates of families whose every rep is low-copy — those
     # families WILL try an alternate, and fetching them lazily cost one
@@ -334,7 +370,16 @@ def verify_families(
             if not left:
                 return
             order = sorted(left, key=lambda i: len(seqs[i]))
-            rep = order[(len(order) - 1) // 2]
+            med_len = len(seqs[order[(len(order) - 1) // 2]])
+            # prefer an ALREADY-FETCHED member nearest the median length:
+            # a peel rep outside copy_sets pays a whole-genome join wave,
+            # and "closest to median among unexplained" is the same
+            # robustness heuristic as "median of unexplained"
+            fetched = [i for i in left if i in copy_sets]
+            if fetched:
+                rep = min(fetched, key=lambda i: abs(len(seqs[i]) - med_len))
+            else:
+                rep = order[(len(order) - 1) // 2]
             sub = ("peel", root, len(family_state))
             family_state[sub] = dict(order=[rep], ai=0, low=None,
                                      done=None, done_copies=None,
@@ -347,18 +392,24 @@ def verify_families(
         while pending or fetch_queue:
             if fetch_queue:
                 fq, fetch_queue = fetch_queue, []
-                fetched = finder.find_copies(
-                    [genome.extract(*it[1]) for it in fq],
-                    min_coverage=min_coverage,
-                    max_copies=cfg.msa.max_copies)
+                count(f"{stage}.ba_fetch_waves")
+                count(f"{stage}.ba_fetch_items", len(fq))
+                with stage_timer(f"{stage}.ba_fetch"):
+                    fetched = finder.find_copies(
+                        [genome.extract(*it[1]) for it in fq],
+                        min_coverage=min_coverage,
+                        max_copies=cfg.msa.max_copies)
                 for (g, interval, rnd), copies in zip(fq, fetched):
                     on_copies(g, interval, copies, rnd)
             if not pending:
                 continue
             batch, pending = pending, []
-            analyses = analyze_families_batched(
-                genome, [(it[1], it[2]) for it in batch], cfg.msa,
-                mesh=mesh)
+            count(f"{stage}.ba_analyze_waves")
+            count(f"{stage}.ba_analyze_items", len(batch))
+            with stage_timer(f"{stage}.ba_analyze"):
+                analyses = analyze_families_batched(
+                    genome, [(it[1], it[2]) for it in batch], cfg.msa,
+                    mesh=mesh)
             for (g, interval, copies, rnd), pre in zip(batch, analyses):
                 st = family_state[g]
                 result = adjust_candidate(genome, interval, copies, cfg.msa,
