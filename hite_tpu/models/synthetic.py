@@ -262,7 +262,13 @@ def synthetic_frames(n: int = 300, seed: int = 0, width: int = 200,
     max_rows = 100
     frames, labels = [], []
     for i in range(n):
-        rows = int(rng.integers(8, 60))
+        # row counts reach down to 2: REAL families are often 2-10 copies
+        # (the round-5 hard-bench LTR families had 6-row frames, below the
+        # old [8, 60) training floor, and the out-of-distribution CNN
+        # vetoed two genuine LTR families wholesale); bias low so the
+        # few-copy regime is well represented
+        rows = int(rng.integers(2, 12) if rng.random() < 0.5
+                   else rng.integers(12, 60))
         label = int(rng.random() < 0.5)
         core_l = rng.integers(0, 4, width - flank)
         core_r = rng.integers(0, 4, width - flank)
@@ -291,6 +297,14 @@ def synthetic_frames(n: int = 300, seed: int = 0, width: int = 200,
             mat[r, flank:width] = cl
             mat[r, width:2 * width - flank] = cr
             mat[r, 2 * width - flank:] = fr
+            # ragged row extents: real copy frames N-pad where a copy's
+            # matched span ends short of the frame window
+            if rng.random() < 0.3:
+                cut = int(rng.integers(0, flank))
+                mat[r, :cut] = 4
+            if rng.random() < 0.3:
+                cut = int(rng.integers(0, flank))
+                mat[r, 2 * width - cut:] = 4
         frames.append(mat)
         labels.append(label)
     return np.stack(frames), np.array(labels, np.int32)

@@ -298,8 +298,16 @@ def cnn_inputs(M: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     flat = M[M < 4]
     if len(flat) < 32:
         flat = np.zeros(64, np.uint8)
+    # pad to a pow2 bucket: kmer_frequencies masks by `lens`, so the
+    # result is unchanged, but an unbucketed width recompiled the kernel
+    # for EVERY distinct content length (~1.7 s/frame of pure compiles
+    # during CNN training input prep)
+    n_true = flat.shape[0]
+    P = 1 << (n_true - 1).bit_length()
+    if P > n_true:
+        flat = np.concatenate([flat, np.full(P - n_true, 4, np.uint8)])
     seq = jnp.asarray(flat[None, :])
-    lens = jnp.asarray([flat.shape[0]])
+    lens = jnp.asarray([n_true])
     f3 = kmer_frequencies(seq, lens, 3)
     f4 = kmer_frequencies(seq, lens, 4)
     km = np.asarray(kmer_channels(f3, f4))[0]

@@ -113,29 +113,31 @@ def _structural_rescue_tir_mask(genome: Genome, cfg: PipelineConfig,
         window=cfg.terminal.end_window,
         min_identity=cfg.terminal.itr_identity,
         min_len=max(10, cfg.terminal.itr_min_len))
-    rescued = np.asarray(tr.found)[:n].copy()
+    has_itr = np.asarray(tr.found)[:n].copy()
 
-    # short-TIR superfamily signatures, keyed by the TSD found in the
-    # candidate's genomic flanks (sizes as search_confident_tir_v4)
+    # a TSD in the candidate's genomic flanks is REQUIRED for both rescue
+    # branches: the reference's rescue inputs are TSD-snapped candidates
+    # from search_confident_tir_v4, so a chance >=10bp inverted end-match
+    # alone must not rescue (measured: three low-copy fragments of
+    # planted LTR elements rescued via chance ITRs annexed the LTR
+    # families' loci on the hard bench substrate)
+    rescued = np.zeros(n, bool)
     for i, (s, e) in enumerate(intervals):
-        if rescued[i]:
-            continue
         for sz in (11, 10, 9, 8, 6, 5, 4, 3, 2):
             lf = genome.extract(int(s) - sz, int(s))
             rf = genome.extract(int(e), int(e) + sz)
             if len(lf) != sz or len(rf) != sz or (lf >= 4).any():
                 continue
             tol = 1 if sz >= 8 else 0
-            if (lf != rf).sum() <= tol and \
-                    _short_tir_signature(seqs[i], sz, cfg.plant):
+            if (lf != rf).sum() <= tol and (
+                    has_itr[i]
+                    or _short_tir_signature(seqs[i], sz, cfg.plant)):
                 rescued[i] = True
                 break
     # LTR-signature veto (the structural gate's TG...CA skip,
     # Util.py:7822, re-applied here): a TG...CA candidate is an intact
     # LTR element — rescuing it hands the LTR family to the TIR library
-    # and its masked loci never reach the LTR stage (measured: a full
-    # planted LTR element rescued via a chance >=10bp inverted end-match
-    # on the hard bench substrate killed the whole LTR family)
+    # and its masked loci never reach the LTR stage
     for i in np.nonzero(rescued)[0]:
         s = seqs[i]
         if len(s) >= 400 and s[0] == 3 and s[1] == 2 \
@@ -183,6 +185,9 @@ def _rescue_low_copy(genome: Genome, cfg: PipelineConfig, *, tir=None,
         if not mask.any():
             continue
         kept = mod.low_copy.intervals[mask]
+        for s, e in kept:
+            logger.info("%s: rescue keeps %d-%d (len %d)", key, int(s),
+                        int(e), int(e) - int(s))
         mod.accepted = CandidateSetJoin(mod.accepted, kept)
         for s, e in kept:
             mod.consensus.append(genome.extract(int(s), int(e)))
