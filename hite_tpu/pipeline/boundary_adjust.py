@@ -135,6 +135,60 @@ def _analyze_batch_sharded(mesh, trunc_at: int):
     return fn
 
 
+def _kmer_code_set(v: np.ndarray, k: int = 8) -> np.ndarray:
+    v = np.asarray(v, np.int64)
+    if len(v) < k:
+        return np.zeros(0, np.int64)
+    m = len(v) - k + 1
+    ok = np.ones(m, bool)
+    code = np.zeros(m, np.int64)
+    for j in range(k):
+        w = v[j : m + j]
+        ok &= w < 4
+        code = code * 4 + np.where(w < 4, w, 0)
+    return np.unique(code[ok])
+
+
+def _subset_copies_by_flank(center: np.ndarray,
+                            copy_seqs: List[np.ndarray],
+                            flank: int,
+                            keep_min: int = 8,
+                            family_frac: float = 0.25) -> List[np.ndarray]:
+    """Prefer copies whose FLANKS are family-free (dense-genome case).
+
+    On TE-dense genomes a copy's +-frame_flank context often contains a
+    same-family neighbor (or a chain that bridged into one): those rows
+    make flank columns homologous across the MSA, the boundary search
+    never sees homology BREAK at the element edge, and whole families
+    are rejected (ROADMAP's 600 kb compression failure).  The reference
+    gets this selection for free — `ready_for_MSA.sh` subsamples the
+    100 longest copies of a REAL genome whose flanks are mostly unique
+    (`Util.py:10407-10412`).  Here each copy's flanks are scored by the
+    fraction of their 8-mers shared with the candidate itself; copies
+    whose flanks look like family sequence are dropped, as long as
+    `keep_min` clean rows remain.
+    """
+    n = len(copy_seqs)
+    if n <= keep_min:
+        return copy_seqs
+    fam = _kmer_code_set(center)
+    if not len(fam):
+        return copy_seqs
+    scores = np.zeros(n)
+    for i, cs in enumerate(copy_seqs):
+        fl = cs[:flank]
+        fr = cs[-flank:] if len(cs) > flank else cs[:0]
+        fk = _kmer_code_set(np.concatenate([fl, np.full(1, 4, np.uint8),
+                                            fr]))
+        scores[i] = float(np.isin(fk, fam).mean()) if len(fk) else 0.0
+    clean = [i for i in range(n) if scores[i] <= family_frac]
+    if len(clean) >= keep_min:
+        return [copy_seqs[i] for i in clean]
+    # not enough clean rows: keep the least-contaminated keep_min
+    order = np.argsort(scores, kind="stable")[:keep_min]
+    return [copy_seqs[i] for i in sorted(order)]
+
+
 def _prep_family(
     genome: Genome,
     interval: Tuple[int, int],
@@ -173,6 +227,10 @@ def _prep_family(
         from hite_tpu.io.fasta import revcomp as np_revcomp
         copy_seqs = [np_revcomp(cs) if h.strand == 1 else cs
                      for cs, h in zip(copy_seqs, copies)]
+    # score flanks against the ELEMENT span only (the center's own
+    # flanks can themselves contain neighbors on dense genomes)
+    copy_seqs = _subset_copies_by_flank(
+        center[anchor_l:anchor_r], copy_seqs, flank)
     R_bucket = max(4, 1 << (len(copy_seqs) - 1).bit_length()) if copy_seqs else 4
 
     # T rounded up to the 512 bucket (cfg default 500) so the truncated

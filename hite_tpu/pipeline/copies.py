@@ -646,16 +646,26 @@ class CopyFinder:
         flat_d, _L = idx.genome.device_flat_padded(idx.use_masked)
         Lp = int(flat_d.shape[0])
         if self.mesh is not None:
-            # REPLICATED under a mesh, deliberately: sharding the genome
+            # CPU backends: REPLICATED, deliberately — sharding the genome
             # stream makes XLA partition the join's global sorts, and the
             # CPU backend segfaults compiling that partitioned sort at
             # some shapes (caught by test_parallel on the 8-device mesh).
             # Replication keeps the program identical to single-device
-            # (exact parity, no collectives); the mesh's real work is the
-            # family-analysis / frame-judge / annotation batch axes.
+            # (exact parity, no collectives).
+            # Non-CPU (TPU) backends: the genome stream SHARDS over the
+            # mesh — XLA partitions the searchsorted/fill elementwise work
+            # per shard and inserts the collectives for the global pair
+            # sort (the CPU-compiler segfault is a CPU-backend bug; real
+            # chips take the partitioned-sort path).  Results are
+            # identical either way: the pair stream is fully re-sorted by
+            # (cand, dbin, qpos, spos) before the scan.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            flat_d = jax.device_put(flat_d, NamedSharding(self.mesh, P()))
+            if jax.default_backend() == "cpu":
+                spec = P()
+            else:
+                spec = P(tuple(self.mesh.axis_names))
+            flat_d = jax.device_put(flat_d, NamedSharding(self.mesh, spec))
         if Lp <= self.max_libjoin_bp:
             # single-chunk genomes get the INDEXED join: the sorted
             # two-strand k-mer stream is built once and cached on the
@@ -667,11 +677,16 @@ class CopyFinder:
             if g_sorted is None:
                 g_sorted = libjoin_genome_sorted(flat_d, k=k)
                 if self.mesh is not None:
+                    # CPU: replicate (partitioned-sort compiler bug);
+                    # TPU: shard the sorted stream over the mesh (see the
+                    # backend gate below)
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
-                    repl = NamedSharding(self.mesh, P())
-                    g_sorted = tuple(jax.device_put(a, repl)
-                                     for a in g_sorted)
+                    spec = (P() if jax.default_backend() == "cpu"
+                            else P(tuple(self.mesh.axis_names)))
+                    g_sorted = tuple(
+                        jax.device_put(a, NamedSharding(self.mesh, spec))
+                        for a in g_sorted)
                 idx.genome._device_cache[ck] = g_sorted
             _one_chunk(flat_d, 0, Lp, g_sorted=g_sorted)
         else:

