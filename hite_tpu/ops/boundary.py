@@ -33,14 +33,27 @@ def adaptive_threshold(n_rows: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(n_rows <= 5, 0.95, jnp.where(n_rows <= 10, 0.9, 0.7))
 
 
-def column_stats(M: jnp.ndarray, threshold: jnp.ndarray | float) -> ColumnStats:
-    """Per-column statistics of an [R, L] matrix."""
+def column_stats(M: jnp.ndarray, threshold: jnp.ndarray | float,
+                 row_ok: jnp.ndarray | None = None) -> ColumnStats:
+    """Per-column statistics of an [R, L] matrix.
+
+    `row_ok` (bool [R]) marks REAL rows: batched family analyses pad the
+    row axis to the batch maximum with all-N rows, and counting those as
+    gap rows poisoned the gap-fraction validity rule (a genuine 8-copy
+    family inside a 64-row batch had every column judged invalid — a
+    whole Helitron family vanished from the 8 Mbp hard bench this way).
+    """
     R, L = M.shape
     oh = jax.nn.one_hot(M.astype(jnp.int32), 6, dtype=jnp.int32)  # [R, L, 6]
+    if row_ok is not None:
+        oh = oh * row_ok.astype(jnp.int32)[:, None, None]
+        n_rows = jnp.sum(row_ok.astype(jnp.int32))
+    else:
+        n_rows = R
     counts = jnp.sum(oh, axis=0)                                   # [L, 6]
     present = jnp.sum(counts[:, :4], axis=1)
     gaps = counts[:, 5] + counts[:, 4]
-    valid = gaps <= R // 2
+    valid = gaps <= n_rows // 2
     max_base = jnp.max(counts[:, :4], axis=1)
     ratio = max_base / jnp.maximum(present, 1)
     homo = valid & (ratio >= threshold) & (present >= 2)
@@ -118,11 +131,17 @@ def search_boundary(
 
 
 @jax.jit
-def consensus(M: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def consensus(M: jnp.ndarray,
+              row_ok: jnp.ndarray | None = None
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Majority base per column; returns (codes [L] with gap-majority
-    columns marked 5, and per-column support fraction)."""
+    columns marked 5, and per-column support fraction).  `row_ok` masks
+    batch-padding rows (see column_stats) — without it an 8-copy family
+    padded into a 64-row batch reads back an ALL-GAP consensus."""
     R, L = M.shape
     oh = jax.nn.one_hot(M.astype(jnp.int32), 6, dtype=jnp.int32)
+    if row_ok is not None:
+        oh = oh * row_ok.astype(jnp.int32)[:, None, None]
     counts = jnp.sum(oh, axis=0)
     base = jnp.argmax(counts[:, :4], axis=1).astype(jnp.uint8)
     present = jnp.sum(counts[:, :4], axis=1)

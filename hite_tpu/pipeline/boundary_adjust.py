@@ -80,13 +80,16 @@ def _analyze_core(center, copies_mat, lens, anchor_l, anchor_r, *,
         M = jnp.concatenate([Mh, Mt], axis=1)
     else:
         M = project_to_center(center, copies_mat, lens)
-    thr = adaptive_threshold(jnp.sum(lens > 0))
-    stats = column_stats(M, thr)
+    # row validity masks batch-padding rows (the batched path pads the
+    # row axis to the batch max; see ops.boundary.column_stats)
+    row_ok = lens > 0
+    thr = adaptive_threshold(jnp.sum(row_ok))
+    stats = column_stats(M, thr, row_ok=row_ok)
     left = search_boundary(stats.homo, anchor_l, side="left", radius=radius,
                            int_window=int_window, ext_window=ext_window)
     right = search_boundary(stats.homo, anchor_r, side="right", radius=radius,
                             int_window=int_window, ext_window=ext_window)
-    cons, support = consensus(M)
+    cons, support = consensus(M, row_ok=row_ok)
     return M, stats.homo, cons, left, right
 
 

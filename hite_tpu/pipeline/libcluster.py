@@ -178,7 +178,8 @@ def _star_consensus(center: np.ndarray, member_seqs: List[np.ndarray]
     c_pad[: len(center)] = center
     M = project_to_center(jnp.asarray(c_pad), jnp.asarray(mat),
                           jnp.asarray(lens))
-    cons, _sup = col_consensus(M)
+    # mask pow2-padding rows so they don't count as gap-majority votes
+    cons, _sup = col_consensus(M, row_ok=jnp.asarray(lens) > 0)
     cons = np.asarray(cons)[: len(center)]
     cons = cons[cons < 4]
     return cons.astype(np.uint8) if len(cons) >= 0.5 * len(center) else center

@@ -92,9 +92,10 @@ def both_ends_frame(
 
 
 def _rule_core(M: jnp.ndarray) -> jnp.ndarray:
-    present = jnp.sum((M < 4).any(1))
+    row_ok = (M < 4).any(1)      # mask pow2-padding all-N rows
+    present = jnp.sum(row_ok)
     thr = adaptive_threshold(present)
-    stats = column_stats(M, thr)
+    stats = column_stats(M, thr, row_ok=row_ok)
     width = FRAME_FLANK + FRAME_CORE
     left = search_boundary(stats.homo, jnp.int32(FRAME_FLANK), side="left",
                            radius=30)

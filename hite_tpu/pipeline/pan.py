@@ -177,28 +177,28 @@ def run_pan_pipeline(
                 total = sum(len(per_genome_hits[o][li]) for o in genomes)
                 if total < min_pan_copies:
                     continue
-                # re-judge with copies from the home genome for the matrix
-                # (decision-level: enough pan support + clean boundaries)
-                copies_arg = per_genome_hits[gname][li]
-                if len(copies_arg) < 2:
-                    # cross-genome fallback: extract each hit from its
-                    # OWNING genome (the hits live in other genomes'
-                    # coordinate spaces) and pass pre-extracted sequences;
-                    # the reference likewise accumulates extend-copy
-                    # sequences per genome (pan_recover_low_copy_TEs.py:
-                    # 384-396, trunc to 1000bp ends handled generically by
-                    # the engine's long_copy_trunc)
-                    from hite_tpu.io.fasta import revcomp as np_revcomp
+                # re-judge with copies accumulated from ALL genomes —
+                # the point of cross-genome support.  The reference
+                # likewise accumulates extend-copy sequences per genome
+                # (pan_recover_low_copy_TEs.py:384-396); a previous
+                # home-copies-only shortcut left the judge a 2-row
+                # matrix for exactly the candidates the rescue exists
+                # for, and the pan rescue never fired.  Hits live in
+                # other genomes' coordinate spaces, so each is extracted
+                # by its owner, strand-corrected, and passed
+                # pre-extracted (trunc to head/tail handled generically
+                # by the engine's long_copy_trunc).
+                from hite_tpu.io.fasta import revcomp as np_revcomp
 
-                    copies_arg = []
-                    for o in genomes:
-                        g_o = genomes[o]
-                        for h in per_genome_hits[o][li]:
-                            cs = g_o.extract(h.start, h.end,
-                                             cfg.msa.frame_flank)
-                            copies_arg.append(
-                                np_revcomp(cs) if h.strand == 1 else cs)
-                    copies_arg = copies_arg[: cfg.msa.max_copies]
+                copies_arg = []
+                for o in genomes:
+                    g_o = genomes[o]
+                    for h in per_genome_hits[o][li]:
+                        cs = g_o.extract(h.start, h.end,
+                                         cfg.msa.frame_flank)
+                        copies_arg.append(
+                            np_revcomp(cs) if h.strand == 1 else cs)
+                copies_arg = copies_arg[: cfg.msa.max_copies]
                 result = adjust_candidate(
                     genomes[gname], (s, e), copies_arg, cfg.msa,
                     judges[mtype], min_copies=2)
